@@ -1,0 +1,149 @@
+"""Self-describing block format + codec auto-selection.
+
+A block = one column × one row range, framed as::
+
+    b"CSPB" | version u8 | codec_id u8 | header_len u32le | header JSON | payload
+
+The JSON header is the ``Headed`` regime of the reference (named,
+self-describing columns — /root/reference/colonnade/src/Colonnade/Encode.hs:
+499-500); ``strip_header``/``reattach_header`` give the ``Headless``/
+``Indexed`` positional regime (Encode.hs:515-516, siphon/src/Siphon/Types.hs:
+25-27) where the header travels in an external manifest instead.
+
+Unlike the reference's CSV chunking (content-oblivious: a cell may span
+chunks, handled by parser continuations — Siphon.hs:612-616), blocks are
+row-aligned and size-capped: decode never needs cross-block state
+(SURVEY.md §4.3, the one deliberate physical divergence).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import BY_ID, BY_NAME, EncodeContext, compute_stats, from_arrow, to_arrow
+
+MAGIC = b"CSPB"
+VERSION = 1
+
+#: selection candidates in deterministic tie-break order (lower wins ties)
+_CANDIDATE_ORDER = ("plain", "forbp", "dict", "rle", "fsst")
+
+
+class BlockError(ValueError):
+    """Typed decode error with coordinates — the SiphonError analog
+    (/root/reference/siphon/src/Siphon/Types.hs:35-59)."""
+
+
+def select_codec(col, stats, ctx, exclude=()) -> str:
+    """Argmin of estimated encoded size over applicable candidates.
+
+    ``plain`` is always applicable, so the result is never worse than the
+    plain baseline (BASELINE.md compressed-size bound, structural)."""
+    best_name, best_est = "plain", None
+    for name in _CANDIDATE_ORDER:
+        if name in exclude:
+            continue
+        codec = BY_NAME[name]
+        if not codec.applicable(col, stats):
+            continue
+        est = codec.estimate(col, stats, ctx)
+        if best_est is None or est < best_est:
+            best_name, best_est = name, est
+    return best_name
+
+
+def encode_block(arr: pa.Array, codec: str = "auto", exclude=()) -> bytes:
+    """Encode one arrow array into a framed, self-describing block."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    col, validity = from_arrow(arr)
+    header: dict = {"n": col.n, "k": col.kind, "t": col.arrow_type}
+    if validity is not None:
+        header["v"] = base64.b64encode(
+            np.packbits(validity, bitorder="little").tobytes()).decode("ascii")
+    if col.n == 0:
+        return _frame(BY_NAME["plain"].codec_id, header, b"")
+    arr_nonnull = arr.fill_null({"str": "", "int": 0, "float": 0.0, "bool": False}
+                                [col.kind]) if arr.null_count else arr
+    stats = compute_stats(col, arr_nonnull)
+    ctx = EncodeContext()
+    if codec == "auto":
+        name = select_codec(col, stats, ctx, exclude)
+    else:
+        name = codec
+        if name not in BY_NAME:
+            raise BlockError(f"unknown codec {name!r}; have {sorted(BY_NAME)}")
+        if not BY_NAME[name].applicable(col, stats):
+            raise BlockError(
+                f"codec {name!r} not applicable to kind={col.kind} column "
+                f"({col.arrow_type}, n={col.n})")
+    c = BY_NAME[name]
+    params, payload = c.encode(col, stats, ctx)
+    if params:
+        header["p"] = params
+    header["crc"] = zlib.crc32(payload)
+    return _frame(c.codec_id, header, payload)
+
+
+def decode_block(buf: bytes | memoryview) -> pa.Array:
+    codec_id, header, payload = _unframe(buf)
+    if header["n"] == 0:
+        return pa.array([], type=pa.type_for_alias(header["t"]))
+    if header.get("crc") is not None and zlib.crc32(payload) != header["crc"]:
+        raise BlockError(f"crc mismatch in block (codec_id={codec_id})")
+    codec = BY_ID.get(codec_id)
+    if codec is None:
+        raise BlockError(f"unknown codec id {codec_id}")
+    col = codec.decode(payload, header.get("p", {}), header["n"], header["k"], header["t"])
+    validity = None
+    if "v" in header:
+        bits = np.frombuffer(base64.b64decode(header["v"]), dtype=np.uint8)
+        validity = np.unpackbits(bits, bitorder="little")[: header["n"]].astype(bool)
+    return to_arrow(col, validity)
+
+
+def block_info(buf: bytes | memoryview) -> dict:
+    codec_id, header, payload = _unframe(buf)
+    return {"codec": BY_ID[codec_id].name, "codec_id": codec_id,
+            "payload_bytes": len(payload), **header}
+
+
+def strip_header(buf: bytes | memoryview) -> tuple[dict, bytes]:
+    """Headless mode: split a block into (manifest header dict, bare frame)."""
+    codec_id, header, payload = _unframe(buf)
+    return ({"codec_id": codec_id, **header},
+            bytes(payload))
+
+
+def reattach_header(manifest: dict, payload: bytes) -> bytes:
+    m = dict(manifest)
+    codec_id = m.pop("codec_id")
+    return _frame(codec_id, m, payload)
+
+
+def _frame(codec_id: int, header: dict, payload: bytes) -> bytes:
+    hj = json.dumps(header, separators=(",", ":"), sort_keys=True).encode()
+    return b"".join([MAGIC, bytes([VERSION, codec_id]),
+                     len(hj).to_bytes(4, "little"), hj, payload])
+
+
+def _unframe(buf: bytes | memoryview):
+    buf = memoryview(buf)
+    if len(buf) < 10 or bytes(buf[:4]) != MAGIC:
+        raise BlockError("bad block magic or truncated frame")
+    if buf[4] != VERSION:
+        raise BlockError(f"unsupported block version {buf[4]}")
+    codec_id = buf[5]
+    hlen = int.from_bytes(buf[6:10], "little")
+    if 10 + hlen > len(buf):
+        raise BlockError("truncated block header")
+    try:
+        header = json.loads(bytes(buf[10:10 + hlen]))
+    except ValueError as e:
+        raise BlockError(f"corrupt block header: {e}") from e
+    return codec_id, header, buf[10 + hlen:]

@@ -1,0 +1,368 @@
+"""FSST-style string compression (Boncz, Neumann, Leis — "FSST: Fast Random
+Access String Compression", VLDB 2020; see PAPERS.md).
+
+A symbol table of up to 255 symbols (1..8 bytes each) is built bottom-up on a
+bounded sample (5 iterations of encode-sample → count unit/pair gains → keep
+top-255 by gain), then strings are encoded greedily longest-match-first into
+1-byte codes; byte 255 escapes a literal byte.  Random access is preserved:
+per-string code-stream lengths are stored bit-packed.
+
+Vectorization strategy (everything numpy, no per-row Python — the
+`input_hint` requirement):
+
+* matching: for each symbol length L, rolling big-endian uint64 keys over the
+  whole concatenated byte buffer + ``searchsorted`` membership → per-position
+  (longest match length, code);
+* greedy scan: inherently sequential per string, so strings are split into
+  <=SEG-byte segments (a match never crosses a segment boundary — costs <1%
+  compression, bounds the chain length) and all segments advance in lockstep:
+  one numpy gather per step, <=SEG steps total regardless of corpus size;
+* decode: escape/literal disambiguation via run-analysis of 0xFF bytes, then
+  one variable-length gather (repeat + cumsum trick) builds the output buffer.
+
+The reference's structural ancestor is the conditional-escaping fast path of
+its CSV codec (/root/reference/siphon/src/Siphon.hs:297-305 — scan, zero-copy
+when clean, escape otherwise): FSST's escape byte generalizes CSV quoting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .base import KIND_STR, Codec, ColumnData, ColumnStats, EncodeContext
+from .bitpack_util import pack_uints, unpack_uints, width_for
+
+ESCAPE = 255
+MAX_SYMS = 255
+MAX_LEN = 8
+SEG = 512
+SAMPLE_BYTES = 1 << 16
+BUILD_ITERS = 5
+
+
+_M64 = (1 << 64) - 1
+_HASH_BITS = 12
+_HASH_SIZE = 1 << _HASH_BITS
+_HASH_MULT = 0x9E3779B97F4A7C15
+
+
+@dataclass
+class SymbolTable:
+    """Symbol table with the FSST paper's lossy-perfect-hash lookup:
+    direct tables for 1- and 2-byte symbols, a single-candidate hash on the
+    3-byte prefix for 3..8-byte symbols (collisions drop the lower-gain
+    symbol — lossy for compression, never for correctness)."""
+
+    symbols: list  # list[bytes], each 1..MAX_LEN bytes, index = code
+    _t1: Optional[np.ndarray] = None
+    _t2: Optional[np.ndarray] = None
+    _hkey: Optional[np.ndarray] = None
+    _hmask: Optional[np.ndarray] = None
+    _hlen: Optional[np.ndarray] = None
+    _hcode: Optional[np.ndarray] = None
+
+    def finalize(self) -> "SymbolTable":
+        t1 = np.full(256, ESCAPE, dtype=np.uint8)
+        t2 = np.full(1 << 16, ESCAPE, dtype=np.uint8)
+        hkey = np.zeros(_HASH_SIZE, dtype=np.uint64)
+        hmask = np.zeros(_HASH_SIZE, dtype=np.uint64)
+        hlen = np.zeros(_HASH_SIZE, dtype=np.uint8)
+        hcode = np.zeros(_HASH_SIZE, dtype=np.uint8)
+        for code, s in enumerate(self.symbols):  # gain-desc order: first wins
+            L = len(s)
+            if L == 1:
+                if t1[s[0]] == ESCAPE:
+                    t1[s[0]] = code
+            elif L == 2:
+                i = s[0] | (s[1] << 8)  # little-endian u16 index
+                if t2[i] == ESCAPE:
+                    t2[i] = code
+            else:
+                k = int.from_bytes(s.ljust(MAX_LEN, b"\0"), "little")
+                h = (((k & 0xFFFFFF) * _HASH_MULT) & _M64) >> (64 - _HASH_BITS)
+                if hlen[h] == 0:
+                    hkey[h] = k
+                    hmask[h] = (1 << (8 * L)) - 1
+                    hlen[h] = L
+                    hcode[h] = code
+        self._t1, self._t2 = t1, t2
+        self._hkey, self._hmask, self._hlen, self._hcode = hkey, hmask, hlen, hcode
+        return self
+
+    def lens_array(self) -> np.ndarray:
+        """len-by-code lookup, 256 wide; escape slot maps to 1."""
+        out = np.ones(256, dtype=np.int64)
+        for code, s in enumerate(self.symbols):
+            out[code] = len(s)
+        return out
+
+
+def _segment_bounds(offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split strings into <=SEG-byte segments; returns (starts, ends)."""
+    lens = np.diff(offsets)
+    n_chunks = (lens + SEG - 1) // SEG
+    total = int(n_chunks.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    grp_start = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    base = np.repeat(offsets[:-1], n_chunks)
+    within = np.arange(total, dtype=np.int64) - np.repeat(grp_start, n_chunks)
+    starts = base + within * SEG
+    ends = np.minimum(starts + SEG, np.repeat(offsets[1:], n_chunks))
+    return starts, ends
+
+
+def _greedy_encode(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy longest-match over all segments in lockstep waves.
+
+    The greedy scan is sequential *within* a segment but independent across
+    segments, so each wave advances every active segment cursor by one unit:
+    gather 8 bytes at each cursor, look up 1-byte / 2-byte / hashed symbols,
+    pick the longest, step.  <=SEG waves total; per-wave arrays are
+    cursor-count-sized (cache-resident), so total memory traffic is
+    O(#units), not O(#positions × passes).
+
+    Returns (unit positions ascending, unit codes; ESCAPE where literal).
+    """
+    n = data.size
+    taken = np.zeros(n, dtype=bool)
+    code_at = np.zeros(n, dtype=np.uint8)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), code_at
+    seg_s, seg_e = _segment_bounds(offsets)
+    # zero-padded buffer, length a multiple of 8 → aligned native-u64 view;
+    # the unaligned little-endian 8-byte key at byte p is
+    #   (W[p>>3] >> 8*(p&7)) | (W[(p>>3)+1] << 64-8*(p&7))
+    # (the <<64 / >>64 edge handled by a two-step shift).
+    n_pad = ((n + MAX_LEN + 15) // 8) * 8
+    pad = np.zeros(n_pad, dtype=np.uint8)
+    pad[:n] = data
+    words = pad.view("<u8")
+    cur = seg_s.copy()
+    end = seg_e
+    alive = cur < end
+    cur, end = cur[alive], end[alive]
+    c64 = np.uint64
+    while cur.size:
+        q = cur >> 3
+        r8 = ((cur & 7) << 3).astype(np.uint64)
+        lo = words[q] >> r8
+        hi = (words[q + 1] << (c64(63) - r8)) << c64(1)
+        key8 = lo | hi
+        rem = end - cur
+        # 1-byte (default len 1; ESCAPE when no symbol)
+        c = table._t1[(key8 & c64(0xFF)).astype(np.uint8)]
+        length = np.ones(cur.size, dtype=np.int64)
+        # 2-byte
+        c2 = table._t2[(key8 & c64(0xFFFF)).astype(np.uint32)]
+        ok2 = (c2 != ESCAPE) & (rem >= 2)
+        c = np.where(ok2, c2, c)
+        length = np.where(ok2, 2, length)
+        # 3..8-byte via prefix hash (single candidate, lossy)
+        h = ((key8 & c64(0xFFFFFF)) * c64(_HASH_MULT)) >> c64(64 - _HASH_BITS)
+        ll = table._hlen[h].astype(np.int64)
+        ok3 = (ll > 0) & ((key8 & table._hmask[h]) == table._hkey[h]) & (rem >= ll)
+        c = np.where(ok3, table._hcode[h], c)
+        length = np.where(ok3, ll, length)
+        taken[cur] = True
+        code_at[cur] = c
+        cur = cur + length
+        alive = cur < end
+        cur, end = cur[alive], end[alive]
+    units = np.flatnonzero(taken)
+    return units, code_at
+
+
+def _encode_stream(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Encode concatenated strings → (stream uint8, per-string out byte counts)."""
+    units, code_at = _greedy_encode(data, offsets, table)
+    codes = code_at[units]
+    esc = codes == ESCAPE
+    out_len = np.where(esc, 2, 1).astype(np.int64)
+    out_off = np.concatenate(([0], np.cumsum(out_len)))
+    stream = np.empty(int(out_off[-1]), dtype=np.uint8)
+    stream[out_off[:-1]] = codes
+    stream[out_off[:-1][esc] + 1] = data[units[esc]]
+    sid = np.searchsorted(offsets, units, side="right") - 1
+    counts = np.bincount(sid, weights=out_len, minlength=len(offsets) - 1).astype(np.int64)
+    return stream, counts
+
+
+def _classify_stream(stream: np.ndarray) -> np.ndarray:
+    """Mask of positions that are *consumed literals* (not unit starts)."""
+    lit = np.zeros(stream.size, dtype=bool)
+    m = stream == ESCAPE
+    idx = np.flatnonzero(m)
+    if idx.size == 0:
+        return lit
+    new_run = np.concatenate(([True], np.diff(idx) > 1))
+    run_id = np.cumsum(new_run) - 1
+    run_start = idx[new_run][run_id]
+    within = idx - run_start
+    lit[idx[within % 2 == 1]] = True  # odd offsets inside a 0xFF run
+    # odd-length runs: final 0xFF is an escape whose literal is the next byte
+    run_len = np.bincount(run_id)
+    run_starts = idx[new_run]
+    odd_ends = run_starts[run_len % 2 == 1] + run_len[run_len % 2 == 1]
+    odd_ends = odd_ends[odd_ends < stream.size]
+    lit[odd_ends] = True
+    return lit
+
+
+def _decode_stream(stream: np.ndarray, counts: np.ndarray, table: SymbolTable
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of _encode_stream → (data bytes, offsets)."""
+    n_strings = counts.size
+    lens_by_code = table.lens_array()
+    sym_flat = np.frombuffer(b"".join(table.symbols), dtype=np.uint8)
+    sym_off = np.concatenate(([0], np.cumsum([len(s) for s in table.symbols]))).astype(np.int64)
+    lit_mask = _classify_stream(stream)
+    units = np.flatnonzero(~lit_mask)
+    is_esc = stream[units] == ESCAPE
+    codes = stream[units].astype(np.int64)
+    out_lens = np.where(is_esc, 1, lens_by_code[codes])
+    # variable-length gather: source = sym_flat ++ stream (escapes read stream[pos+1])
+    src = np.concatenate((sym_flat, stream))
+    src_start = np.where(is_esc, sym_flat.size + units + 1,
+                         sym_off[np.where(is_esc, 0, codes)])
+    total = int(out_lens.sum())
+    unit_out_off = np.concatenate(([0], np.cumsum(out_lens)))
+    ar = np.arange(total, dtype=np.int64) - np.repeat(unit_out_off[:-1], out_lens)
+    data = src[np.repeat(src_start, out_lens) + ar]
+    # per-string offsets: stream offsets → unit index → output offset
+    stream_off = np.concatenate(([0], np.cumsum(counts)))
+    unit_idx = np.searchsorted(units, stream_off)
+    offsets = unit_out_off[unit_idx]
+    assert offsets.size == n_strings + 1
+    return data, offsets.astype(np.int64)
+
+
+def _gram_keys(data: np.ndarray, pos: np.ndarray, lens: np.ndarray
+               ) -> np.ndarray:
+    """uint64 key for the gram at (pos, len): big-endian bytes, zero-padded,
+    xor length in the low bits of a second lane folded in (length kept
+    separate by caller)."""
+    key = np.zeros(pos.size, dtype=np.uint64)
+    for L in range(1, MAX_LEN + 1):
+        m = lens >= L
+        key[m] = (key[m] << np.uint64(8)) | data[pos[m] + L - 1].astype(np.uint64)
+    return key
+
+
+def build_symbol_table(data: np.ndarray, offsets: np.ndarray) -> SymbolTable:
+    """Bottom-up table construction on (a sample of) the corpus bytes."""
+    # bound the sample: prefix of strings covering <= SAMPLE_BYTES
+    if offsets[-1] > SAMPLE_BYTES:
+        cut = int(np.searchsorted(offsets, SAMPLE_BYTES, side="right"))
+        cut = max(cut, 2)
+        offsets = offsets[:cut]
+        data = data[: int(offsets[-1])]
+    table = SymbolTable([]).finalize()
+    seg_s, _seg_e = _segment_bounds(offsets)
+    for _ in range(BUILD_ITERS):
+        units, code_at = _greedy_encode(data, offsets, table)
+        if units.size == 0:
+            break
+        ulen = table.lens_array()[code_at[units]]
+        # candidate grams: every unit, plus adjacent-unit concatenations <= 8B
+        # (units tile each segment, so a pair's bytes are contiguous at pos_i)
+        sid = np.searchsorted(seg_s, units, side="right") - 1
+        adj = np.flatnonzero((sid[1:] == sid[:-1]))
+        pair_pos = units[adj]
+        pair_len = ulen[adj] + ulen[adj + 1]
+        ok = pair_len <= MAX_LEN
+        cand_pos = np.concatenate((units, pair_pos[ok]))
+        cand_len = np.concatenate((ulen, pair_len[ok]))
+        keys = _gram_keys(data, cand_pos, cand_len)
+        combo = keys.astype(np.uint64) * np.uint64(16) + cand_len.astype(np.uint64)
+        uniq, inv, cnt = np.unique(combo, return_inverse=True, return_counts=True)
+        glen = (uniq % np.uint64(16)).astype(np.int64)
+        gain = cnt * glen
+        # materialize gram bytes via first-occurrence position (numpy fancy
+        # assignment keeps the last write → feed occurrences reversed)
+        first_pos = np.full(uniq.size, -1, dtype=np.int64)
+        first_pos[inv[::-1]] = cand_pos[::-1]
+        order = np.argsort(gain, kind="stable")[::-1][: MAX_SYMS * 2]
+        cands = [(int(gain[gi]),
+                  data[int(first_pos[gi]): int(first_pos[gi]) + int(glen[gi])].tobytes())
+                 for gi in order]
+        # deterministic: gain desc, bytes asc; dedup (hash-collision safety)
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        syms, seen_bytes = [], set()
+        for _, s in cands:
+            if s not in seen_bytes:
+                seen_bytes.add(s)
+                syms.append(s)
+            if len(syms) == MAX_SYMS:
+                break
+        table = SymbolTable(syms).finalize()
+    return table
+
+
+class FsstCodec(Codec):
+    name = "fsst"
+    codec_id = 5
+
+    def applicable(self, col: ColumnData, stats: ColumnStats) -> bool:
+        # capability only; estimate() prices tiny columns out of selection
+        return col.kind == KIND_STR and col.n > 0
+
+    def _table(self, col: ColumnData, ctx: EncodeContext) -> SymbolTable:
+        if ctx.fsst_table is None:
+            ctx.fsst_table = build_symbol_table(col.data, col.offsets)
+        return ctx.fsst_table
+
+    def estimate(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> int:
+        if stats.total_bytes < 256:  # table overhead dominates; never select
+            return stats.total_bytes + 4 * (col.n + 1) + 1024
+        table = self._table(col, ctx)
+        if "fsst_ratio" not in ctx.extras:
+            # encode the sample prefix, extrapolate
+            cut = int(np.searchsorted(col.offsets, SAMPLE_BYTES, side="right"))
+            cut = min(max(cut, 2), col.offsets.size)
+            off = col.offsets[:cut]
+            sample = col.data[: int(off[-1])]
+            if off[-1] == 0:
+                ctx.extras["fsst_ratio"] = 1.0
+            else:
+                stream, _ = _encode_stream(sample, off, table)
+                ctx.extras["fsst_ratio"] = stream.size / max(int(off[-1]), 1)
+        table_bytes = 2 + len(table.symbols) + sum(len(s) for s in table.symbols)
+        cw_bytes = (col.n * 24 + 7) // 8  # pessimistic count width
+        return int(ctx.extras["fsst_ratio"] * stats.total_bytes) + table_bytes + cw_bytes
+
+    def encode(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> tuple[dict, bytes]:
+        table = self._table(col, ctx)
+        stream, counts = _encode_stream(col.data, col.offsets, table)
+        cw = width_for(int(counts.max())) if counts.size else 0
+        sym_lens = bytes(len(s) for s in table.symbols)
+        parts = [bytes([len(table.symbols)]), sym_lens,
+                 b"".join(table.symbols),
+                 bytes([cw]), pack_uints(counts.astype(np.uint64), cw),
+                 stream.tobytes()]
+        return {}, b"".join(parts)
+
+    def decode(self, payload: memoryview, params: dict, n: int, kind: str,
+               arrow_type: str) -> ColumnData:
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        n_sym = int(buf[0])
+        sym_lens = buf[1:1 + n_sym].astype(np.int64)
+        p = 1 + n_sym
+        sym_total = int(sym_lens.sum())
+        sym_bytes = buf[p: p + sym_total]
+        p += sym_total
+        soff = np.concatenate(([0], np.cumsum(sym_lens)))
+        symbols = [sym_bytes[int(soff[i]): int(soff[i + 1])].tobytes() for i in range(n_sym)]
+        cw = int(buf[p]); p += 1
+        cnt_bytes = (n * cw + 7) // 8
+        counts = unpack_uints(buf[p: p + cnt_bytes], n, cw).astype(np.int64)
+        p += cnt_bytes
+        stream = buf[p:]
+        table = SymbolTable(symbols).finalize()
+        data, offsets = _decode_stream(stream, counts, table)
+        return ColumnData(kind, n, arrow_type, data=data, offsets=offsets)

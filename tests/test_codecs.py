@@ -1,0 +1,184 @@
+"""Per-codec golden + round-trip property tests.
+
+Mirrors the reference's test strategy (SURVEY.md §5): exact golden expectations
+(siphon/test/Test.hs:48-74), the encode-then-decode isomorphism property
+(Test.hs:147-150, propIsoStream Test.hs:262-276), and hostile-input generators
+(Test.hs:157-177 — cells containing separators, newlines, quotes; generalized
+to NULs, unicode, empty strings, giant cells per FIXTURES.md).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from colonnade_spark import blocks
+from colonnade_spark.blocks import block_info, decode_block, encode_block
+
+HOSTILE = [
+    "Simple",
+    "With,Escaped\nChars",
+    'More"Escaped,""Chars',
+    "",
+    "nul\x00byte",
+    "日本語テキスト🎉 combining: é",
+    "\r\n lone \r cr",
+    "x" * 5000,
+]
+
+
+def rt(arr, codec="auto"):
+    out = decode_block(encode_block(arr, codec=codec))
+    assert out.type == arr.type
+    assert out.equals(arr), f"round-trip mismatch for codec={codec}"
+    return out
+
+
+# ---------- string columns ----------
+
+@pytest.mark.parametrize("codec", ["plain", "dict", "rle", "fsst", "auto"])
+def test_string_roundtrip_hostile(codec):
+    rt(pa.array(HOSTILE, type=pa.string()), codec)
+
+
+@pytest.mark.parametrize("codec", ["plain", "dict", "rle", "fsst", "auto"])
+def test_string_roundtrip_random(codec):
+    rng = np.random.default_rng(7)
+    vocab = ["def ", "return x + y\n", "import numpy as np\n", "    ", "# comment\n",
+             "for i in range(n):\n", "", "スパーク", "longline" * 50]
+    vals = ["".join(rng.choice(vocab, size=rng.integers(0, 30))) for _ in range(500)]
+    rt(pa.array(vals, type=pa.string()), codec)
+
+
+@pytest.mark.parametrize("codec", ["plain", "dict", "rle", "auto"])
+def test_string_nulls(codec):
+    vals = ["a", None, "bb", None, None, "a", ""] * 20
+    rt(pa.array(vals, type=pa.string()), codec)
+
+
+def test_large_string_type_preserved():
+    rt(pa.array(["a", "bb", "x" * 100], type=pa.large_string()))
+
+
+def test_binary_type():
+    rt(pa.array([b"\x00\x01\xff", b"", b"abc" * 100], type=pa.binary()), "plain")
+
+
+def test_empty_column():
+    rt(pa.array([], type=pa.string()))
+    rt(pa.array([], type=pa.int64()))
+
+
+# ---------- selection behavior ----------
+
+def test_auto_picks_dict_for_low_cardinality():
+    arr = pa.array((["py", "java", "go"] * 2000))
+    info = block_info(encode_block(arr))
+    assert info["codec"] in ("dict", "rle")
+    assert info["payload_bytes"] < len(encode_block(arr, codec="plain"))
+
+
+def test_auto_picks_rle_for_runs():
+    arr = pa.array(["a"] * 5000 + ["b"] * 5000 + ["c"] * 5000)
+    info = block_info(encode_block(arr))
+    assert info["codec"] == "rle"
+
+
+def test_auto_picks_forbp_for_small_range_ints():
+    arr = pa.array(np.arange(10000, dtype=np.int64) % 17 + 1_000_000)
+    info = block_info(encode_block(arr))
+    assert info["codec"] == "forbp"
+    assert info["payload_bytes"] < 10000 * 8 / 8  # <=1 byte/val vs 8 plain
+
+
+def test_auto_picks_fsst_for_code_text():
+    line = "    return self.value + other.value  # add\n"
+    vals = [line * (i % 20 + 3) + f"unique{i}\n" for i in range(300)]
+    arr = pa.array(vals)
+    info = block_info(encode_block(arr))
+    assert info["codec"] == "fsst"
+    plain_size = len(encode_block(arr, codec="plain"))
+    assert len(encode_block(arr)) < 0.6 * plain_size
+    rt(arr)
+
+
+def test_auto_never_worse_than_plain():
+    rng = np.random.default_rng(11)
+    # high-entropy: plain should win or tie
+    vals = ["".join(chr(c) for c in rng.integers(33, 127, size=80)) for _ in range(500)]
+    arr = pa.array(vals)
+    auto_size = len(encode_block(arr))
+    plain_size = len(encode_block(arr, codec="plain"))
+    assert auto_size <= plain_size + 64  # framing slack
+
+
+# ---------- int columns ----------
+
+@pytest.mark.parametrize("codec", ["plain", "dict", "rle", "forbp", "auto"])
+def test_int_roundtrip(codec):
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-50, 50, size=2000)
+    rt(pa.array(vals, type=pa.int64()), codec)
+
+
+@pytest.mark.parametrize("codec", ["plain", "forbp"])
+def test_int_extremes(codec):
+    vals = [0, 1, -1, 2**63 - 1, -(2**63), 42]
+    rt(pa.array(vals, type=pa.int64()), codec)
+
+
+def test_int_nulls():
+    rt(pa.array([1, None, 3, None, 1] * 100, type=pa.int64()))
+
+
+@pytest.mark.parametrize("t", [pa.int32(), pa.int16(), pa.int8()])
+def test_narrow_int_types(t):
+    rt(pa.array([1, -2, 3, 100, -100], type=t))
+
+
+def test_constant_column_tiny():
+    arr = pa.array([7] * 100000, type=pa.int64())
+    b = encode_block(arr)
+    assert len(b) < 200  # rle or forbp(width 0): near-zero payload
+    rt(arr)
+
+
+# ---------- float / bool ----------
+
+def test_float_roundtrip():
+    rt(pa.array([1.5, -0.25, 3.14159, float("inf")], type=pa.float64()))
+    rt(pa.array([1.5, -0.25], type=pa.float32()))
+
+
+def test_bool_roundtrip():
+    rt(pa.array([True, False, True] * 100))
+    rt(pa.array([True, None, False] * 50))
+
+
+# ---------- framing / errors ----------
+
+def test_crc_detects_corruption():
+    b = bytearray(encode_block(pa.array(["hello", "world"])))
+    b[-1] ^= 0xFF
+    with pytest.raises(blocks.BlockError):
+        decode_block(bytes(b))
+
+
+def test_bad_magic():
+    with pytest.raises(blocks.BlockError):
+        decode_block(b"XXXX" + b"\x00" * 16)
+
+
+def test_headless_strip_reattach():
+    arr = pa.array(["a", "bb", "a"] * 50)
+    b = encode_block(arr)
+    manifest, bare = blocks.strip_header(b)
+    assert manifest["codec_id"] >= 0 and manifest["n"] == 150
+    assert decode_block(blocks.reattach_header(manifest, bare)).equals(arr)
+
+
+def test_deterministic_blocks():
+    """Byte-identical re-encode — required for checkpoint/resume."""
+    rng = np.random.default_rng(5)
+    vals = ["line%d\n" % (i % 37) * (i % 11) for i in range(2000)]
+    arr = pa.array(vals)
+    assert encode_block(arr) == encode_block(arr)
