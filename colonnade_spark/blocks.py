@@ -57,8 +57,19 @@ def select_codec(col, stats, ctx, exclude=()) -> str:
     return best_name
 
 
-def encode_block(arr: pa.Array, codec: str = "auto", exclude=()) -> bytes:
-    """Encode one arrow array into a framed, self-describing block."""
+def encode_block(arr: pa.Array, codec: str = "auto", exclude=(),
+                 ctx: EncodeContext | None = None) -> bytes:
+    """Encode one arrow array into a framed, self-describing block.
+
+    ``ctx`` may be passed in to reuse expensive per-column scratch (the FSST
+    symbol table) across successive chunks of the same column — the
+    build-once / fold-many plan reuse of the reference
+    (/root/reference/colonnade/src/Colonnade/Encode.hs:560-566).
+
+    With ``codec="auto"`` the encoded payload is *guaranteed* <= the plain
+    payload: if the estimate-selected codec turns out worse on the actual
+    data (estimates are sample-based), we fall back to plain post-hoc.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     col, validity = from_arrow(arr)
@@ -71,8 +82,10 @@ def encode_block(arr: pa.Array, codec: str = "auto", exclude=()) -> bytes:
     arr_nonnull = arr.fill_null({"str": "", "int": 0, "float": 0.0, "bool": False}
                                 [col.kind]) if arr.null_count else arr
     stats = compute_stats(col, arr_nonnull)
-    ctx = EncodeContext()
-    if codec == "auto":
+    if ctx is None:
+        ctx = EncodeContext()
+    auto = codec == "auto"
+    if auto:
         name = select_codec(col, stats, ctx, exclude)
     else:
         name = codec
@@ -84,6 +97,11 @@ def encode_block(arr: pa.Array, codec: str = "auto", exclude=()) -> bytes:
                 f"({col.arrow_type}, n={col.n})")
     c = BY_NAME[name]
     params, payload = c.encode(col, stats, ctx)
+    if auto and name != "plain":
+        plain = BY_NAME["plain"]
+        if len(payload) >= plain.estimate(col, stats, ctx):
+            c = plain
+            params, payload = plain.encode(col, stats, ctx)
     if params:
         header["p"] = params
     header["crc"] = zlib.crc32(payload)

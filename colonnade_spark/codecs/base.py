@@ -125,19 +125,44 @@ def string_at(col: ColumnData, i: int) -> bytes:
 @dataclass
 class ColumnStats:
     """Per-chunk column statistics driving codec selection (the ``sizeColumns``
-    analog, Encode.hs:177-186, generalized beyond max-width)."""
+    analog, Encode.hs:177-186, generalized beyond max-width).
+
+    Dictionary statistics are *sample-gated*: a contiguous 2048-row prefix is
+    factorized first; only when it shows dict/RLE potential (repeats or runs)
+    is the full chunk factorized.  High-cardinality columns (content, hashes)
+    skip the full pass entirely — it was the dominant non-codec cost.
+    ``ensure_dict`` materializes the full factorization lazily for a codec
+    that actually needs it (e.g. a user-forced dict on a high-card column).
+    """
 
     n: int
     kind: str
     total_bytes: int = 0
     max_len: int = 0
-    n_unique: int = 0
-    run_count: int = 0
+    n_unique: int = 0            # exact when dict_codes is set, else estimate
+    run_count: int = 0           # exact when dict_codes is set, else estimate
     vmin: int = 0
     vmax: int = 0
-    # cached dictionary encoding, shared by dict/rle codecs
     dict_codes: Optional[np.ndarray] = None      # int64 codes, first-occurrence order
     dict_values: Optional[pa.Array] = None
+    arr: Optional[pa.Array] = None               # null-free source (for ensure_dict)
+
+
+_SAMPLE_ROWS = 2048
+
+
+def _full_dict(st: ColumnStats, arr: pa.Array) -> None:
+    de = arr.dictionary_encode()
+    codes = np.asarray(de.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    st.dict_codes = codes
+    st.dict_values = de.dictionary
+    st.n_unique = len(de.dictionary)
+    st.run_count = 1 + int(np.count_nonzero(codes[1:] != codes[:-1]))
+
+
+def ensure_dict(st: ColumnStats) -> None:
+    if st.dict_codes is None:
+        _full_dict(st, st.arr)
 
 
 def compute_stats(col: ColumnData, arr_nonnull: pa.Array) -> ColumnStats:
@@ -155,13 +180,22 @@ def compute_stats(col: ColumnData, arr_nonnull: pa.Array) -> ColumnStats:
     else:
         st.total_bytes = col.values.nbytes
     if col.kind in (KIND_STR, KIND_INT):
-        de = arr_nonnull.combine_chunks().dictionary_encode() \
-            if isinstance(arr_nonnull, pa.ChunkedArray) else arr_nonnull.dictionary_encode()
-        codes = np.asarray(de.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
-        st.dict_codes = codes
-        st.dict_values = de.dictionary
-        st.n_unique = len(de.dictionary)
-        st.run_count = 1 + int(np.count_nonzero(codes[1:] != codes[:-1]))
+        if isinstance(arr_nonnull, pa.ChunkedArray):
+            arr_nonnull = arr_nonnull.combine_chunks()
+        st.arr = arr_nonnull
+        if col.n <= 2 * _SAMPLE_ROWS:
+            _full_dict(st, arr_nonnull)
+        else:
+            head = arr_nonnull.slice(0, _SAMPLE_ROWS)
+            de = head.dictionary_encode()
+            hcodes = np.asarray(de.indices.to_numpy(zero_copy_only=False))
+            h_unique = len(de.dictionary) / _SAMPLE_ROWS
+            h_runs = (1 + int(np.count_nonzero(hcodes[1:] != hcodes[:-1]))) / _SAMPLE_ROWS
+            if h_unique < 0.5 or h_runs < 0.5:
+                _full_dict(st, arr_nonnull)   # dict/RLE plausible → exact stats
+            else:
+                st.n_unique = int(h_unique * col.n)
+                st.run_count = max(int(h_runs * col.n), 1)
     return st
 
 

@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from .base import (KIND_INT, KIND_STR, Codec, ColumnData, ColumnStats,
-                   EncodeContext, from_arrow)
+                   EncodeContext, ensure_dict, from_arrow)
 from .bitpack_util import pack_uints, unpack_uints, width_for
 
 
@@ -36,11 +36,17 @@ class DictCodec(Codec):
 
     def estimate(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> int:
         w = width_for(max(stats.n_unique - 1, 0))
-        return _dict_values_bytes(stats) + (col.n * w + 7) // 8 + 16
+        if stats.dict_values is not None:
+            dv = _dict_values_bytes(stats)
+        else:  # estimate dict payload from average value size
+            avg = stats.total_bytes / max(col.n, 1)
+            dv = int(stats.n_unique * avg) + 4 * (stats.n_unique + 1)
+        return dv + (col.n * w + 7) // 8 + 16
 
     def encode(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> tuple[dict, bytes]:
         from .. import blocks  # lazy: avoid circular import
 
+        ensure_dict(stats)
         codes = stats.dict_codes
         w = width_for(max(stats.n_unique - 1, 0))
         sub = blocks.encode_block(stats.dict_values, codec="auto",

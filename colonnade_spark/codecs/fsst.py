@@ -46,7 +46,7 @@ BUILD_ITERS = 5
 _M64 = (1 << 64) - 1
 _HASH_BITS = 12
 _HASH_SIZE = 1 << _HASH_BITS
-_HASH_MULT = 0x9E3779B97F4A7C15
+_HASH_MULT32 = 2654435761  # Knuth 32-bit multiplicative hash
 
 
 @dataclass
@@ -59,6 +59,7 @@ class SymbolTable:
     symbols: list  # list[bytes], each 1..MAX_LEN bytes, index = code
     _t1: Optional[np.ndarray] = None
     _t2: Optional[np.ndarray] = None
+    _slot: Optional[np.ndarray] = None
     _hkey: Optional[np.ndarray] = None
     _hmask: Optional[np.ndarray] = None
     _hlen: Optional[np.ndarray] = None
@@ -67,10 +68,12 @@ class SymbolTable:
     def finalize(self) -> "SymbolTable":
         t1 = np.full(256, ESCAPE, dtype=np.uint8)
         t2 = np.full(1 << 16, ESCAPE, dtype=np.uint8)
-        hkey = np.zeros(_HASH_SIZE, dtype=np.uint64)
-        hmask = np.zeros(_HASH_SIZE, dtype=np.uint64)
-        hlen = np.zeros(_HASH_SIZE, dtype=np.uint8)
-        hcode = np.zeros(_HASH_SIZE, dtype=np.uint8)
+        # one structured record per hash slot → a single gather per wave
+        slot = np.zeros(_HASH_SIZE,
+                        dtype=[("key", "<u8"), ("mask", "<u8"),
+                               ("len", "<i4"), ("code", "u1")])
+        hkey, hmask = slot["key"], slot["mask"]
+        hlen, hcode = slot["len"], slot["code"]
         for code, s in enumerate(self.symbols):  # gain-desc order: first wins
             L = len(s)
             if L == 1:
@@ -82,13 +85,14 @@ class SymbolTable:
                     t2[i] = code
             else:
                 k = int.from_bytes(s.ljust(MAX_LEN, b"\0"), "little")
-                h = (((k & 0xFFFFFF) * _HASH_MULT) & _M64) >> (64 - _HASH_BITS)
+                h = (((k & 0xFFFFFF) * _HASH_MULT32) & 0xFFFFFFFF) >> (32 - _HASH_BITS)
                 if hlen[h] == 0:
                     hkey[h] = k
                     hmask[h] = (1 << (8 * L)) - 1
                     hlen[h] = L
                     hcode[h] = code
         self._t1, self._t2 = t1, t2
+        self._slot = slot
         self._hkey, self._hmask, self._hlen, self._hcode = hkey, hmask, hlen, hcode
         return self
 
@@ -142,32 +146,40 @@ def _greedy_encode(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
     pad = np.zeros(n_pad, dtype=np.uint8)
     pad[:n] = data
     words = pad.view("<u8")
-    cur = seg_s.copy()
-    end = seg_e
+    # int32 cursors (blocks are size-capped well below 2^31) + preallocated
+    # scratch reused across waves: keeps per-wave memory traffic minimal —
+    # this loop is memory-bound, not compute-bound.
+    cur = seg_s.astype(np.int32)
+    end = seg_e.astype(np.int32)
     alive = cur < end
     cur, end = cur[alive], end[alive]
     c64 = np.uint64
+    m = cur.size
+    key8 = np.empty(m, dtype=np.uint64)
+    scratch = np.empty(m, dtype=np.uint64)
     while cur.size:
-        q = cur >> 3
-        r8 = ((cur & 7) << 3).astype(np.uint64)
-        lo = words[q] >> r8
-        hi = (words[q + 1] << (c64(63) - r8)) << c64(1)
-        key8 = lo | hi
+        k = cur.size
+        key8_k, sc = key8[:k], scratch[:k]
+        np.right_shift(words[cur >> 3], ((cur & 7) << 3).astype(np.uint64),
+                       out=key8_k)
+        np.left_shift(words[(cur >> 3) + 1],
+                      c64(63) - ((cur & 7) << 3).astype(np.uint64), out=sc)
+        np.left_shift(sc, c64(1), out=sc)
+        np.bitwise_or(key8_k, sc, out=key8_k)
         rem = end - cur
         # 1-byte (default len 1; ESCAPE when no symbol)
-        c = table._t1[(key8 & c64(0xFF)).astype(np.uint8)]
-        length = np.ones(cur.size, dtype=np.int64)
+        c1 = table._t1[(key8_k & c64(0xFF)).astype(np.uint8)]
         # 2-byte
-        c2 = table._t2[(key8 & c64(0xFFFF)).astype(np.uint32)]
+        c2 = table._t2[(key8_k & c64(0xFFFF)).astype(np.uint32)]
         ok2 = (c2 != ESCAPE) & (rem >= 2)
-        c = np.where(ok2, c2, c)
-        length = np.where(ok2, 2, length)
-        # 3..8-byte via prefix hash (single candidate, lossy)
-        h = ((key8 & c64(0xFFFFFF)) * c64(_HASH_MULT)) >> c64(64 - _HASH_BITS)
-        ll = table._hlen[h].astype(np.int64)
-        ok3 = (ll > 0) & ((key8 & table._hmask[h]) == table._hkey[h]) & (rem >= ll)
-        c = np.where(ok3, table._hcode[h], c)
-        length = np.where(ok3, ll, length)
+        # 3..8-byte via prefix hash: one structured gather per wave
+        h = ((key8_k & c64(0xFFFFFF)).astype(np.uint32) * np.uint32(_HASH_MULT32)
+             ) >> np.uint32(32 - _HASH_BITS)
+        s = table._slot[h]
+        ll = s["len"]
+        ok3 = (ll > 0) & ((key8_k & s["mask"]) == s["key"]) & (rem >= ll)
+        length = np.where(ok3, ll, np.where(ok2, 2, 1)).astype(np.int32)
+        c = np.where(ok3, s["code"], np.where(ok2, c2, c1))
         taken[cur] = True
         code_at[cur] = c
         cur = cur + length
@@ -254,14 +266,36 @@ def _gram_keys(data: np.ndarray, pos: np.ndarray, lens: np.ndarray
     return key
 
 
+def stratified_sample(data: np.ndarray, offsets: np.ndarray,
+                      budget: int = SAMPLE_BYTES) -> tuple[np.ndarray, np.ndarray]:
+    """Evenly-spaced string sample covering ~budget bytes.
+
+    A prefix sample is biased when the chunk is key-sorted (the normal case:
+    staging sorts by key, so a prefix is one repo/language) — symbols tuned
+    to the prefix made the rest of the chunk escape-expand.  Spacing the
+    sample across the whole chunk keeps the table representative."""
+    n = len(offsets) - 1
+    total = int(offsets[-1])
+    if total <= budget or n <= 1:
+        return data, offsets
+    avg = max(total / n, 1.0)
+    want = max(int(budget / avg), 2)
+    idx = np.unique(np.linspace(0, n - 1, num=min(want, n)).astype(np.int64))
+    lens = np.diff(offsets)[idx]
+    keep = int(np.searchsorted(np.cumsum(lens), budget, side="right")) + 1
+    idx = idx[:max(keep, 2)]
+    lens = np.diff(offsets)[idx]
+    new_off = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    out = np.empty(int(new_off[-1]), dtype=np.uint8)
+    for k, s in enumerate(idx):  # few hundred slices, cheap
+        out[int(new_off[k]): int(new_off[k + 1])] = \
+            data[int(offsets[s]): int(offsets[s + 1])]
+    return out, new_off
+
+
 def build_symbol_table(data: np.ndarray, offsets: np.ndarray) -> SymbolTable:
-    """Bottom-up table construction on (a sample of) the corpus bytes."""
-    # bound the sample: prefix of strings covering <= SAMPLE_BYTES
-    if offsets[-1] > SAMPLE_BYTES:
-        cut = int(np.searchsorted(offsets, SAMPLE_BYTES, side="right"))
-        cut = max(cut, 2)
-        offsets = offsets[:cut]
-        data = data[: int(offsets[-1])]
+    """Bottom-up table construction on a stratified sample of the chunk."""
+    data, offsets = stratified_sample(data, offsets)
     table = SymbolTable([]).finalize()
     seg_s, _seg_e = _segment_bounds(offsets)
     for _ in range(BUILD_ITERS):
@@ -313,28 +347,40 @@ class FsstCodec(Codec):
         return col.kind == KIND_STR and col.n > 0
 
     def _table(self, col: ColumnData, ctx: EncodeContext) -> SymbolTable:
-        if ctx.fsst_table is None:
-            ctx.fsst_table = build_symbol_table(col.data, col.offsets)
+        """Reuse the cached symbol table across chunks, but probe it first:
+        encode a tiny (8 KB) stratified sample and rebuild if the ratio
+        drifted >25% from build time (content distribution changed — e.g.
+        the stripe crossed into a different language's files)."""
+        probe, poff = stratified_sample(col.data, col.offsets, budget=8192)
+
+        def ratio_of(table):
+            if poff[-1] == 0:
+                return 1.0
+            stream, _ = _encode_stream(probe, poff, table)
+            return stream.size / int(poff[-1])
+
+        if ctx.fsst_table is not None:
+            r = ratio_of(ctx.fsst_table)
+            if r <= ctx.extras.get("fsst_probe_ratio", 1.0) * 1.25 + 0.02:
+                return ctx.fsst_table
+        ctx.fsst_table = build_symbol_table(col.data, col.offsets)
+        ctx.extras["fsst_probe_ratio"] = ratio_of(ctx.fsst_table)
+        sample, soff = stratified_sample(col.data, col.offsets)
+        if soff[-1] == 0:
+            ctx.extras["fsst_ratio"] = 1.0
+        else:
+            stream, _ = _encode_stream(sample, soff, ctx.fsst_table)
+            ctx.extras["fsst_ratio"] = stream.size / int(soff[-1])
         return ctx.fsst_table
 
     def estimate(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> int:
-        if stats.total_bytes < 256:  # table overhead dominates; never select
-            return stats.total_bytes + 4 * (col.n + 1) + 1024
+        if stats.total_bytes < 1024:  # table overhead dominates; never select
+            return stats.total_bytes + 4 * (col.n + 1) + 4096
         table = self._table(col, ctx)
-        if "fsst_ratio" not in ctx.extras:
-            # encode the sample prefix, extrapolate
-            cut = int(np.searchsorted(col.offsets, SAMPLE_BYTES, side="right"))
-            cut = min(max(cut, 2), col.offsets.size)
-            off = col.offsets[:cut]
-            sample = col.data[: int(off[-1])]
-            if off[-1] == 0:
-                ctx.extras["fsst_ratio"] = 1.0
-            else:
-                stream, _ = _encode_stream(sample, off, table)
-                ctx.extras["fsst_ratio"] = stream.size / max(int(off[-1]), 1)
         table_bytes = 2 + len(table.symbols) + sum(len(s) for s in table.symbols)
         cw_bytes = (col.n * 24 + 7) // 8  # pessimistic count width
-        return int(ctx.extras["fsst_ratio"] * stats.total_bytes) + table_bytes + cw_bytes
+        return int(ctx.extras.get("fsst_ratio", 1.0) * stats.total_bytes) \
+            + table_bytes + cw_bytes
 
     def encode(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> tuple[dict, bytes]:
         table = self._table(col, ctx)

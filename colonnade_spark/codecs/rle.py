@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from .base import (KIND_INT, KIND_STR, Codec, ColumnData, ColumnStats,
-                   EncodeContext, from_arrow)
+                   EncodeContext, ensure_dict, from_arrow)
 from .bitpack_util import pack_uints, unpack_uints, width_for
 
 
@@ -35,6 +35,7 @@ class RleCodec(Codec):
     def encode(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> tuple[dict, bytes]:
         from .. import blocks
 
+        ensure_dict(stats)
         codes = stats.dict_codes
         change = np.flatnonzero(codes[1:] != codes[:-1])
         starts = np.concatenate(([0], change + 1))

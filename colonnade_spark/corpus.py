@@ -1,0 +1,163 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Schema per BASELINE.json:input_hint:
+``(repo:string, path:string, commit:string, lang:string, content:string)``.
+
+Every value is a pure function of ``(seed, file_id)`` via counter-based
+splitmix64 hashing — NOT of partitioning or iteration order — so the corpus
+is identical whether generated driver-side (pandas) or distributed
+(``spark.range(n).mapInArrow``), at any parallelism.  This mirrors the
+reference's two-tier committed-sample vs generated-large testing
+(/root/reference/geolite-csv/test/Spec.hs:29-42) with generation replacing
+download.
+
+Required edge-case rows occupy fixed ids 0..7 at every scale:
+0 empty content, 1 giant cell, 2 unicode, 3 hostile CSV chars (the
+reference's hostile cells, siphon/test/Test.hs:163-167), 4 highly repetitive,
+5 high-entropy, 6+7 duplicate (repo,path) at different commits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SCHEMA = pa.schema([
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("content", pa.string()),
+])
+
+LANGS = ["py", "java", "c", "cpp", "go", "rs", "js", "ts", "md", "json", "yaml", "txt"]
+_LANG_W = np.array([30, 15, 10, 10, 8, 7, 6, 5, 4, 2, 2, 1], dtype=np.float64)
+_LANG_CDF = np.cumsum(_LANG_W / _LANG_W.sum())
+
+_M64 = (1 << 64) - 1
+GIANT_CELL_BYTES = 4 << 20  # >= 4x the default 1 MiB block-size cap
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_M64)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(_M64)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(_M64)
+    return x ^ (x >> np.uint64(31))
+
+
+def _h(file_id: np.ndarray, salt: int, seed: int) -> np.ndarray:
+    return _mix(file_id.astype(np.uint64) ^ np.uint64((salt * 0x9E3779B9 + seed) & _M64))
+
+
+def _u01(h: np.ndarray) -> np.ndarray:
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _line_pool(seed: int, lang: str, size: int = 96) -> list:
+    """Deterministic pool of code-like lines per language.
+
+    NB: stable hash (crc32), never Python ``hash()`` — that is randomized per
+    process and would silently break cross-executor determinism."""
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(f"{seed}:{lang}".encode()))
+    kw = {"py": ["def", "return", "import", "class", "if", "for", "with"],
+          "md": ["#", "##", "-", "*", ">"],
+          "json": ['"key":', '"value":', "{", "}", "[", "]"],
+          }.get(lang, ["void", "int", "return", "static", "struct", "if", "while"])
+    idents = [f"var{i}" for i in range(24)] + [f"fn_{i}" for i in range(16)]
+    pool = []
+    for i in range(size):
+        depth = int(rng.integers(0, 4))
+        toks = [str(rng.choice(kw))] + [str(rng.choice(idents))
+                                        for _ in range(int(rng.integers(1, 5)))]
+        pool.append("    " * depth + " ".join(toks) + ("  # c%d" % i if lang == "py" else ";"))
+    return pool
+
+
+def generate_batch(file_ids: np.ndarray, seed: int = 42) -> pa.RecordBatch:
+    """Generate rows for the given file ids (any order/slice → same rows)."""
+    fid = np.asarray(file_ids, dtype=np.uint64)
+    n = fid.size
+    # repo: one giant repo (~30% of files), rest uniform over n_repos
+    n_repos = 100
+    u_repo = _u01(_h(fid, 1, seed))
+    repo_idx = np.where(u_repo < 0.30, 0,
+                        1 + (_h(fid, 2, seed) % np.uint64(n_repos - 1)).astype(np.int64))
+    # lang: zipf-weighted
+    lang_idx = np.searchsorted(_LANG_CDF, _u01(_h(fid, 3, seed)))
+    # path: depth 1..8
+    depth = 1 + (_h(fid, 4, seed) % np.uint64(8)).astype(np.int64)
+    d1 = (_h(fid, 5, seed) % np.uint64(12)).astype(np.int64)
+    d2 = (_h(fid, 6, seed) % np.uint64(12)).astype(np.int64)
+    h_c1 = _h(fid, 7, seed)
+    h_c2 = _h(fid, 8, seed)
+    h_c3 = _h(fid, 9, seed)
+
+    pools = {lang: _line_pool(seed, lang) for lang in LANGS}
+    n_lines = (8 + (_h(fid, 10, seed) % np.uint64(72)).astype(np.int64)
+               * (1 + (_h(fid, 11, seed) % np.uint64(3)).astype(np.int64)))
+    start = (_h(fid, 12, seed) % np.uint64(96)).astype(np.int64)
+    step = 1 + (_h(fid, 13, seed) % np.uint64(7)).astype(np.int64)
+    rep_every = 2 + (_h(fid, 14, seed) % np.uint64(5)).astype(np.int64)
+
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    for i in range(n):
+        f = int(fid[i])
+        lang = LANGS[int(lang_idx[i])]
+        repo = f"org{int(repo_idx[i]) % 10}/repo{int(repo_idx[i])}"
+        path = "/".join(["src"] + [f"d{int(d1[i])}", f"m{int(d2[i])}"][: int(depth[i]) % 3]
+                        ) + f"/file_{f}.{lang}"
+        commit = f"{int(h_c1[i]):016x}{int(h_c2[i]):016x}{int(h_c3[i]):016x}"[:40]
+        pool = pools[lang]
+        if f == 0:  # empty content
+            content = ""
+        elif f == 1:  # giant cell (multi-block path)
+            line = pool[0] + "\n"
+            content = line * (GIANT_CELL_BYTES // len(line) + 1)
+        elif f == 2:  # unicode
+            content = ("日本語のコード🎉 # comment\n" "é = é; ←→∀∃\n") * 200
+        elif f == 3:  # hostile CSV chars (reference Test.hs:163-167)
+            content = 'With,Escaped\nChars\r\nMore"Escaped,""Chars\r lone\r' * 100
+        elif f == 4:  # highly repetitive (RLE/FSST fixture)
+            content = (pool[1] + "\n") * 10_000
+        elif f == 5:  # high entropy (plain-codec-wins fixture)
+            rh = _mix(np.arange(6000, dtype=np.uint64) ^ np.uint64(seed * 77 + 5))
+            content = "".join(f"{int(v):016x}" for v in rh)
+        else:
+            s, st, rv = int(start[i]), int(step[i]), int(rep_every[i])
+            idx = [(s + j * st) % len(pool) if j % rv else s for j in range(int(n_lines[i]))]
+            content = "\n".join(pool[k] for k in idx) + "\n"
+        if f == 7:  # duplicate (repo,path) of id 6, different commit
+            f6 = np.array([6], dtype=np.uint64)
+            b6 = generate_batch(f6, seed)
+            repo, path = b6.column(0)[0].as_py(), b6.column(1)[0].as_py()
+        repos.append(repo); paths.append(path); commits.append(commit)
+        langs.append(lang); contents.append(content)
+    return pa.RecordBatch.from_arrays(
+        [pa.array(x, type=pa.string()) for x in (repos, paths, commits, langs, contents)],
+        schema=SCHEMA)
+
+
+def generate_corpus_arrow(n_files: int, seed: int = 42) -> pa.Table:
+    """Driver-side generation (tests, small tiers)."""
+    return pa.Table.from_batches(
+        [generate_batch(np.arange(lo, min(lo + 8192, n_files)), seed)
+         for lo in range(0, n_files, 8192)], schema=SCHEMA)
+
+
+def generate_corpus(spark, n_files: int, seed: int = 42, partitions: int | None = None):
+    """Distributed generation: spark.range → mapInArrow (no driver bottleneck)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType([StructField(f.name, StringType(), True) for f in SCHEMA])
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            if ids.size:
+                yield generate_batch(ids, seed)
+
+    return spark.range(0, n_files, numPartitions=parts).mapInArrow(gen, out_schema)

@@ -1,0 +1,348 @@
+"""Spark encode / decode / verify jobs.
+
+Pipeline (SURVEY.md §3.2-3.3 generalized to Spark):
+
+encode:  plan.project(df)  → salt/bucket assignment (skew pre-pass)
+         → stage: repartition(n_buckets, bucket) + sortWithinPartitions(keys)
+           written parquet-partitioned by bucket       [Catalyst-planned]
+         → per-bucket encode tasks (one task per pending bucket): stream
+           record batches, cut size-capped row-aligned stripes, encode each
+           column to a framed block, write blocks+lineage, drop a checkpoint
+           marker                                      [imperative by design:
+           per-partition checkpoint/resume semantics Spark's job-atomic
+           committer cannot express — north_rule "resumable from checkpoint"]
+
+decode:  read blocks parquet → groupBy(bucket, stripe).applyInPandas
+         → reassembled rows with the planned schema
+
+verify:  decoded ⋈ source on key_cols (sort-merge; both sides large),
+         sha256 equality per content column (input_hint invariant)
+
+Determinism: staging order is total (unique keys), codecs are deterministic,
+so re-running a bucket yields byte-identical blocks — markers are safe.
+Local filesystem warehouse here; on a cluster, point ``warehouse`` at shared
+storage (pyarrow reads s3:///hdfs:// via fsspec) — layout is unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import blocks as B
+from .plan import EncodePlan
+
+BLOCKS_SCHEMA = pa.schema([
+    ("stripe", pa.int64()),
+    ("column", pa.string()),
+    ("codec", pa.string()),
+    ("n_rows", pa.int64()),
+    ("bytes_in", pa.int64()),
+    ("bytes_out", pa.int64()),
+    ("block", pa.large_binary()),
+])
+
+LINEAGE_SCHEMA = pa.schema([
+    ("stripe", pa.int64()),
+    ("column", pa.string()),
+    ("codec", pa.string()),
+    ("n_rows", pa.int64()),
+    ("bytes_in", pa.int64()),
+    ("bytes_out", pa.int64()),
+    ("enc_ms", pa.float64()),
+])
+
+
+# --------------------------------------------------------------------------
+# bucket / salt assignment (the skew pre-pass, SURVEY.md §4.2 item 2)
+# --------------------------------------------------------------------------
+
+def assign_buckets(df, plan: EncodePlan, n_buckets: int,
+                   target_salt_bytes: int = 16 << 20):
+    """Add a ``__bucket`` column.
+
+    With a partition column (e.g. ``repo``): a cheap aggregation measures
+    bytes per value; values bigger than ``target_salt_bytes`` get a salt
+    fan-out proportional to their size, so one giant repo spreads over many
+    buckets while small repos stay co-located (dictionary/FSST tables like
+    locality).  The salt map is tiny → broadcast join.
+    """
+    from pyspark.sql import functions as F
+
+    str_cols = [f.name for f in df.schema.fields
+                if f.dataType.typeName() in ("string", "binary")
+                and f.name in plan.column_names]
+    weight = sum((F.length(F.coalesce(F.col(c), F.lit(""))) for c in str_cols[1:]),
+                 F.length(F.coalesce(F.col(str_cols[0]), F.lit("")))) \
+        if str_cols else F.lit(8) * len(plan.specs)
+    pcol = plan.partition_col
+    key_hash = F.xxhash64(*[F.col(k) for k in plan.key_cols]) if plan.key_cols \
+        else F.xxhash64(*[F.col(c) for c in df.columns])
+    if not pcol:
+        return df.withColumn("__bucket", F.pmod(key_hash, F.lit(n_buckets)).cast("int"))
+    sizes = (df.groupBy(pcol).agg(F.sum(weight).alias("__bytes"))
+             .withColumn("__salt_k",
+                         F.greatest(F.lit(1),
+                                    F.ceil(F.col("__bytes") / target_salt_bytes))
+                         .cast("int"))
+             .select(pcol, "__salt_k"))
+    out = (df.join(F.broadcast(sizes), on=pcol, how="left")
+             .withColumn("__salt", F.pmod(key_hash, F.coalesce("__salt_k", F.lit(1))))
+             .withColumn("__bucket",
+                         F.pmod(F.xxhash64(F.col(pcol), F.col("__salt")),
+                                F.lit(n_buckets)).cast("int"))
+             .drop("__salt_k", "__salt"))
+    return out
+
+
+# --------------------------------------------------------------------------
+# encode
+# --------------------------------------------------------------------------
+
+def _stripe_iter(pf_paths, columns, stripe_bytes):
+    """Yield row-aligned arrow Tables, each <= stripe_bytes (soft cap: a
+    single giant row may exceed it alone — the multi-block-cell fixture)."""
+    buf, buf_bytes = [], 0
+    for path in pf_paths:
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches(batch_size=8192, columns=columns):
+            if batch.num_rows == 0:
+                continue
+            # split oversized batches by rows so stripes honor the byte cap
+            if batch.nbytes > stripe_bytes and batch.num_rows > 1:
+                per_row = max(batch.nbytes // batch.num_rows, 1)
+                step = max(int(stripe_bytes // per_row), 1)
+                subs = [batch.slice(o, step) for o in range(0, batch.num_rows, step)]
+            else:
+                subs = [batch]
+            for sub in subs:
+                buf.append(sub)
+                buf_bytes += sub.nbytes
+                if buf_bytes >= stripe_bytes:
+                    yield pa.Table.from_batches(buf)
+                    buf, buf_bytes = [], 0
+    if buf:
+        yield pa.Table.from_batches(buf)
+
+
+def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
+                   plan_json: str, stripe_bytes: int) -> dict:
+    """One checkpointable unit of work: encode every stripe of one bucket."""
+    wall0 = time.perf_counter()
+    plan = EncodePlan.from_json(plan_json)
+    cols = plan.column_names
+    bdir = os.path.join(warehouse, "blocks", f"bucket={bucket}")
+    ldir = os.path.join(warehouse, "lineage")
+    os.makedirs(bdir, exist_ok=True)
+    os.makedirs(ldir, exist_ok=True)
+    paths = sorted(glob.glob(os.path.join(staged_dir, f"__bucket={bucket}", "*.parquet")))
+    rows_out, lineage = [], []
+    stripe = 0
+    total_in = total_out = n_rows_total = 0
+    # per-column encode context: FSST symbol table built on the first stripe
+    # is reused across the bucket (plan-reuse, Encode.hs:560-566)
+    ctxs = {name: B.EncodeContext() for name in cols}
+    for table in _stripe_iter(paths, cols, stripe_bytes):
+        for name in cols:
+            spec = next(s for s in plan.specs if s.name == name)
+            arr = table.column(name).combine_chunks()
+            t0 = time.perf_counter()
+            blk = B.encode_block(arr, codec=spec.codec, ctx=ctxs[name])
+            ms = (time.perf_counter() - t0) * 1e3
+            info = B.block_info(blk)
+            bytes_in = arr.nbytes
+            rows_out.append((stripe, name, info["codec"], len(arr),
+                             bytes_in, len(blk), blk))
+            lineage.append((stripe, name, info["codec"], len(arr),
+                            bytes_in, len(blk), ms))
+            total_in += bytes_in
+            total_out += len(blk)
+        n_rows_total += table.num_rows
+        stripe += 1
+    blocks_tbl = pa.Table.from_arrays(
+        [pa.array([r[i] for r in rows_out],
+                  type=BLOCKS_SCHEMA.field(i).type) for i in range(7)],
+        schema=BLOCKS_SCHEMA)
+    lineage_tbl = pa.Table.from_arrays(
+        [pa.array([r[i] for r in lineage],
+                  type=LINEAGE_SCHEMA.field(i).type) for i in range(7)],
+        schema=LINEAGE_SCHEMA)
+    # atomic publish: tmp + rename, marker last (crash before marker → redo)
+    tmp = os.path.join(bdir, "_tmp.parquet")
+    pq.write_table(blocks_tbl, tmp, compression="NONE")
+    os.replace(tmp, os.path.join(bdir, "part-0.parquet"))
+    ltmp = os.path.join(ldir, f"_tmp_{bucket}.parquet")
+    pq.write_table(lineage_tbl, ltmp)
+    os.replace(ltmp, os.path.join(ldir, f"bucket_{bucket}.parquet"))
+    marker = {"bucket": bucket, "plan_hash": plan.plan_hash(), "stripes": stripe,
+              "rows": n_rows_total, "bytes_in": total_in, "bytes_out": total_out,
+              "wall_s": round(time.perf_counter() - wall0, 3)}
+    mtmp = os.path.join(warehouse, "markers", f"_tmp_{bucket}.json")
+    os.makedirs(os.path.dirname(mtmp), exist_ok=True)
+    with open(mtmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(mtmp, os.path.join(warehouse, "markers", f"bucket_{bucket}.json"))
+    return marker
+
+
+def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
+                 n_buckets: int = 32, stripe_bytes: int = 4 << 20,
+                 target_salt_bytes: int = 64 << 20,
+                 mode: str = "error", input_token: str = "") -> dict:
+    """Run the encode job; returns the manifest dict.
+
+    mode: "error" (refuse existing warehouse), "overwrite", or "resume"
+    (skip staged input and completed buckets — the checkpoint path).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    manifest_path = os.path.join(warehouse, "manifest.json")
+    if os.path.exists(warehouse) and os.listdir(warehouse):
+        if mode == "error":
+            raise FileExistsError(f"warehouse {warehouse} exists; use mode=overwrite/resume")
+        if mode == "overwrite":
+            shutil.rmtree(warehouse)
+    os.makedirs(warehouse, exist_ok=True)
+
+    fingerprint = json.dumps({"plan": plan.plan_hash(), "n_buckets": n_buckets,
+                              "input": input_token}, sort_keys=True)
+    staged_dir = os.path.join(warehouse, "staged")
+    staged_marker = os.path.join(warehouse, "_STAGED.json")
+
+    projected = plan.project(df)
+    schema_ddl = projected.select(*plan.column_names).schema.simpleString()
+
+    need_stage = True
+    if mode == "resume" and os.path.exists(staged_marker):
+        with open(staged_marker) as f:
+            need_stage = json.load(f).get("fingerprint") != fingerprint
+    if need_stage:
+        bucketed = assign_buckets(projected, plan, n_buckets, target_salt_bytes)
+        order = plan.stage_order or plan.column_names
+        (bucketed.repartition(n_buckets, F.col("__bucket"))
+                 .sortWithinPartitions(*order)
+                 .write.mode("overwrite").partitionBy("__bucket")
+                 .parquet(staged_dir))
+        with open(staged_marker, "w") as f:
+            json.dump({"fingerprint": fingerprint}, f)
+
+    all_buckets = sorted(int(p.split("=")[-1])
+                         for p in glob.glob(os.path.join(staged_dir, "__bucket=*")))
+    done = set()
+    if mode == "resume":
+        for mp in glob.glob(os.path.join(warehouse, "markers", "bucket_*.json")):
+            with open(mp) as f:
+                m = json.load(f)
+            if m.get("plan_hash") == plan.plan_hash():
+                done.add(m["bucket"])
+    pending = [b for b in all_buckets if b not in done]
+
+    plan_json = plan.to_json()
+    results = []
+    if pending:
+        sc = spark.sparkContext
+        rdd = sc.parallelize(pending, len(pending))
+        results = rdd.map(lambda b: _encode_bucket(
+            b, staged_dir, warehouse, plan_json, stripe_bytes)).collect()
+
+    manifest = {
+        "plan": json.loads(plan.to_json()),
+        "plan_hash": plan.plan_hash(),
+        "schema_ddl": schema_ddl,
+        "n_buckets": n_buckets,
+        "stripe_bytes": stripe_bytes,
+        "buckets_encoded_this_run": len(results),
+        "buckets_resumed": len(done),
+        "rows": sum(r["rows"] for r in results),
+        "bytes_in": sum(r["bytes_in"] for r in results),
+        "bytes_out": sum(r["bytes_out"] for r in results),
+        "fingerprint": fingerprint,
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+
+def read_manifest(warehouse: str) -> dict:
+    with open(os.path.join(warehouse, "manifest.json")) as f:
+        return json.load(f)
+
+
+def decode_table(spark, warehouse: str):
+    """Blocks → rows. One applyInPandas group per (bucket, stripe): decode
+    each column block, reassemble the row batch (the ``uncheckedRun`` analog,
+    /root/reference/siphon/src/Siphon.hs:718-749, per-block not per-row)."""
+    import pandas as pd
+
+    manifest = read_manifest(warehouse)
+    plan = EncodePlan.from_json(json.dumps(manifest["plan"]))
+    cols = plan.column_names
+    out_schema = manifest["schema_ddl"].replace("struct<", "").rstrip(">")
+
+    blocks_df = spark.read.parquet(os.path.join(warehouse, "blocks"))
+
+    def reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        series = {}
+        n = None
+        for _, row in pdf.iterrows():
+            arr = B.decode_block(row["block"])
+            series[row["column"]] = arr.to_pandas()
+            n = len(arr)
+        missing = [c for c in cols if c not in series]
+        if missing:
+            raise B.BlockError(f"stripe missing column blocks: {missing}")
+        return pd.DataFrame({c: series[c] for c in cols}, copy=False)
+
+    return (blocks_df.groupBy("bucket", "stripe")
+            .applyInPandas(reassemble, schema=out_schema))
+
+
+# --------------------------------------------------------------------------
+# verify
+# --------------------------------------------------------------------------
+
+def verify_roundtrip(spark, source_df, plan: EncodePlan, warehouse: str) -> dict:
+    """The round-trip oracle (reference propIsoStream, siphon/test/Test.hs:
+    262-276) strengthened to per-row sha256 equality (input_hint)."""
+    from pyspark.sql import functions as F
+
+    decoded = decode_table(spark, warehouse)
+    src = plan.project(source_df).select(*plan.column_names)
+
+    def hashed(df, tag):
+        exprs = [F.sha2(F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")), 256)
+                 .alias(f"{c}__h") for c in plan.column_names
+                 if c not in plan.key_cols]
+        return df.select(*plan.key_cols, *exprs)
+
+    s, d = hashed(src, "s"), hashed(decoded, "d")
+    joined = s.alias("s").join(d.alias("d"), on=list(plan.key_cols), how="full")
+    cmp_cols = [c for c in plan.column_names if c not in plan.key_cols]
+    mismatch = None
+    for c in cmp_cols:
+        cond = (F.col(f"s.{c}__h").isNull() | F.col(f"d.{c}__h").isNull()
+                | (F.col(f"s.{c}__h") != F.col(f"d.{c}__h")))
+        mismatch = cond if mismatch is None else (mismatch | cond)
+    bad = joined.filter(mismatch).count() if mismatch is not None else 0
+    return {
+        "rows_source": src.count(),
+        "rows_decoded": decoded.count(),
+        "mismatches": int(bad),
+        "ok": bad == 0,
+    }
+
+
+def lineage_table(spark, warehouse: str):
+    return spark.read.parquet(os.path.join(warehouse, "lineage"))

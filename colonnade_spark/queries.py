@@ -1,0 +1,367 @@
+"""Driver-contract queries: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable with (where SQL-expressible) a
+DuckDB oracle producing identical values — the encode-then-decode round-trip
+oracle of the reference (siphon/test/Test.hs:147-150) made machine-checkable:
+a round-trip query returns decoded values, the oracle is the identity SELECT,
+so value-hash equality IS the isomorphism property.
+
+Numeric discipline for oracle parity: every integer output is CAST to BIGINT
+on both sides; money math is exact DECIMAL on both sides; float math is
+confined to the ANN query where only integer ranks are returned.
+"""
+
+from __future__ import annotations
+
+from .shipping import ensure_shipped
+
+DOC_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _read(spark, sf_dir: str, name: str):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# round-trip queries (one per codec + auto) — the isomorphism oracle
+# --------------------------------------------------------------------------
+
+def _roundtrip(table: str, out_cols: list, codecs: dict):
+    def fn(spark, sf_dir):
+        ensure_shipped(spark)
+        df = _read(spark, sf_dir, table).select(*out_cols)
+
+        def rt(batches):
+            import pyarrow as pa
+
+            from colonnade_spark import blocks as B
+            for batch in batches:
+                names = batch.schema.names
+                arrs = [B.decode_block(B.encode_block(batch.column(i),
+                                                      codec=codecs.get(nm, "auto")))
+                        for i, nm in enumerate(names)]
+                yield pa.RecordBatch.from_arrays(arrs, names=names)
+
+        return df.mapInArrow(rt, df.schema)
+
+    return fn
+
+
+def _identity_sql(cols: list) -> str:
+    return f"SELECT {', '.join(cols)} FROM documents"
+
+
+# --------------------------------------------------------------------------
+# individual queries
+# --------------------------------------------------------------------------
+
+def q_stats_sizecolumns(spark, sf_dir):
+    """The sizeColumns stats pass (Encode.hs:177-186) as a Spark agg."""
+    from pyspark.sql import functions as F
+
+    return (_read(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.max(F.length("text")).cast("bigint").alias("max_len"),
+                 F.min(F.length("text")).cast("bigint").alias("min_len"),
+                 F.sum(F.length("text")).cast("bigint").alias("total_chars")))
+
+
+SQL_STATS = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(length(text)) AS BIGINT) AS max_len,
+       CAST(min(length(text)) AS BIGINT) AS min_len,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+_COMBINATOR_CASES = {
+    "src_sw": "CASE WHEN lang = 'en' THEN upper(source) ELSE source END",
+    "text_mod": "CASE WHEN n_chars > 500 THEN substring(text, 1, 10) ELSE text END",
+    "lang_fx": "coalesce(nullif(lang, 'de'), 'was_de')",
+}
+
+
+def q_plan_combinators(spark, sf_dir):
+    """bool / modifyWhen / fromMaybe combinators (Colonnade.hs:170-236) via
+    EncodePlan's lmap projection."""
+    from .plan import plan
+
+    p = (plan().headed("doc_id")
+         .headed("src_sw", "source")
+         .bool_("src_sw", "lang = 'en'", "upper(source)", "source")
+         .headed("text_mod", "text")
+         .modify_when("text_mod", "n_chars > 500", lambda e: f"substring({e}, 1, 10)")
+         .headed("lang_fx", "nullif(lang, 'de')")
+         .from_maybe("lang_fx", "was_de"))
+    return p.project(_read(spark, sf_dir, "documents"))
+
+
+SQL_COMBINATORS = ("SELECT doc_id, "
+                   + ", ".join(f"{e} AS {n}" for n, e in _COMBINATOR_CASES.items())
+                   + " FROM documents")
+
+
+def q_columns_pivot(spark, sf_dir):
+    """The ``columns`` dynamic-column combinator (Colonnade.hs:194-203):
+    one count column per lang value."""
+    from pyspark.sql import functions as F
+
+    out = (_read(spark, sf_dir, "documents")
+           .groupBy("source").pivot("lang", DOC_LANGS).count().na.fill(0))
+    return out.select("source", *[F.col(l).cast("bigint").alias(l) for l in DOC_LANGS])
+
+
+SQL_PIVOT = ("SELECT source, "
+             + ", ".join(f"CAST(count(*) FILTER (WHERE lang = '{l}') AS BIGINT) AS {l}"
+                         for l in DOC_LANGS)
+             + " FROM documents GROUP BY source")
+
+
+def q_cornice_rollup(spark, sf_dir):
+    """Hierarchical grouping (the Cornice header-tree analog as a data
+    rollup: per (source, lang) manifest counts)."""
+    from pyspark.sql import functions as F
+
+    return (_read(spark, sf_dir, "documents")
+            .groupBy("source", "lang")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.length("text")).cast("bigint").alias("chars")))
+
+
+SQL_ROLLUP = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM documents GROUP BY source, lang
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (_read(spark, sf_dir, "documents")
+            .groupBy(F.md5(F.col("text")).alias("text_hash"))
+            .agg(F.min("doc_id").cast("bigint").alias("keep_id"),
+                 F.count("*").cast("bigint").alias("n_dups")))
+
+
+SQL_DEDUP = """
+SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+_TOKEN_EXPR = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+               "ELSE size(split(trim(text), '\\\\s+')) END")
+_TOKEN_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+              "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END")
+
+
+def q_token_count(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (_read(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.expr(_TOKEN_EXPR).cast("bigint").alias("n_tokens")))
+
+
+SQL_TOKENS = (f"SELECT doc_id, CAST({_TOKEN_SQL} AS BIGINT) AS n_tokens "
+              "FROM documents")
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: integer-valued text metrics."""
+    from pyspark.sql import functions as F
+
+    df = _read(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_m"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+        .cast("bigint").alias("n_spaces"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
+        .cast("bigint").alias("n_digits"),
+        F.expr(_TOKEN_EXPR).cast("bigint").alias("n_tokens"),
+    )
+
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+       CAST({_TOKEN_SQL} AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+_LANG_MARKERS = {"en": " the ", "de": " der ", "es": " el ", "fr": " le "}
+_LANG_ID_CASE = ("CASE "
+                 + " ".join(
+                     f"WHEN length(text) - length(replace(text, '{m}', '')) >= "
+                     f"{len(m)} THEN '{l}'"
+                     for l, m in _LANG_MARKERS.items())
+                 + " ELSE 'unknown' END")
+
+
+def q_lang_id_ngram(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic (deterministic, SQL-mirrored)."""
+    from pyspark.sql import functions as F
+
+    return (_read(spark, sf_dir, "documents")
+            .select("doc_id", "lang", F.expr(_LANG_ID_CASE).alias("lang_guess")))
+
+
+SQL_LANG_ID = f"SELECT doc_id, lang, {_LANG_ID_CASE} AS lang_guess FROM documents"
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: whitespace-normalized content hash."""
+    from pyspark.sql import functions as F
+
+    return (_read(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+                    .alias("fp")))
+
+
+SQL_FINGERPRINT = ("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+                   "AS fp FROM documents")
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query vector, JVM-side math (zip_with +
+    aggregate in DOUBLE, no Python in the loop); integer output only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dbl = "transform(embedding, x -> cast(x as double))"
+    q = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.expr(dbl).alias("qe"))
+    c = emb.filter("vec_id >= 10").select(
+        F.col("vec_id").alias("nid"), F.expr(dbl).alias("ce"))
+    dot = ("aggregate(zip_with(qe, ce, (x, y) -> x * y), cast(0.0 as double),"
+           " (a, b) -> a + b)")
+    nrm = ("sqrt(aggregate(zip_with(qe, qe, (x, y) -> x * y), cast(0.0 as double),"
+           " (a, b) -> a + b) * aggregate(zip_with(ce, ce, (x, y) -> x * y),"
+           " cast(0.0 as double), (a, b) -> a + b))")
+    j = (c.crossJoin(F.broadcast(q))
+         .withColumn("sim", F.expr(f"({dot}) / ({nrm})")))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter("rank <= 5")
+            .select(F.col("qid").cast("bigint"),
+                    F.col("nid").cast("bigint"),
+                    F.col("rank").cast("bigint")))
+
+
+SQL_ANN = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 10),
+     s AS (SELECT qid, nid,
+                  list_dot_product(qe, ce) / sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce)) AS sim
+           FROM c, q)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, CAST(rank AS BIGINT) AS rank
+FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+WHERE rank <= 5
+"""
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-duplicate detection (rows-only check: not
+    SQL-expressible).  To exercise the operator on data that actually has
+    near-duplicates, the input is documents ∪ perturbed copies (one token
+    replaced, doc_id+1_000_000); every doc should pair with its copy."""
+    from pyspark.sql import functions as F
+
+    from .textops import minhash_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("PERTURBED "), F.col("text")).alias("text"))
+    return minhash_near_dup_pairs(spark, docs.union(perturbed),
+                                  id_col="doc_id", text_col="text",
+                                  threshold=0.5)
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary — the relational shell is stock
+    Catalyst (SURVEY.md §2.7: joins/aggs are Spark built-ins, not ours).
+    Exact DECIMAL math both sides for bit-equal oracle parity."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    # integer cents / 10^-4 units: exact decimal math folded to BIGINT so any
+    # comparator (decimal, float, or string based) sees identical values
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg((F.sum(qty) * 100).cast("bigint").alias("sum_qty_c"),
+                 (F.sum(price) * 100).cast("bigint").alias("sum_base_price_c"),
+                 (F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)) * 10000)
+                 .cast("bigint").alias("sum_disc_price_c4"),
+                 F.count("*").cast("bigint").alias("count_order")))
+
+
+SQL_TPCH = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            * 10000 AS BIGINT) AS sum_disc_price_c4,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def registry() -> dict:
+    """name -> (fn, oracle_sql_or_None)"""
+    doc_all = ["doc_id", "text", "lang", "source", "n_chars"]
+    return {
+        # codec round-trips (isomorphism oracle per codec)
+        "rt_auto_documents": (_roundtrip("documents", doc_all, {}),
+                              _identity_sql(doc_all)),
+        "rt_plain_text": (_roundtrip("documents", ["doc_id", "text"],
+                                     {"text": "plain", "doc_id": "plain"}),
+                          _identity_sql(["doc_id", "text"])),
+        "rt_fsst_text": (_roundtrip("documents", ["doc_id", "text"],
+                                    {"text": "fsst"}),
+                         _identity_sql(["doc_id", "text"])),
+        "rt_dict_lang": (_roundtrip("documents", ["doc_id", "lang"],
+                                    {"lang": "dict"}),
+                         _identity_sql(["doc_id", "lang"])),
+        "rt_rle_source": (_roundtrip("documents", ["doc_id", "source"],
+                                     {"source": "rle"}),
+                          _identity_sql(["doc_id", "source"])),
+        "rt_forbp_ints": (_roundtrip("documents", ["doc_id", "n_chars"],
+                                     {"doc_id": "forbp", "n_chars": "forbp"}),
+                          _identity_sql(["doc_id", "n_chars"])),
+        # stats & combinators
+        "stats_sizecolumns": (q_stats_sizecolumns, SQL_STATS),
+        "plan_combinators": (q_plan_combinators, SQL_COMBINATORS),
+        "columns_pivot": (q_columns_pivot, SQL_PIVOT),
+        "cornice_rollup": (q_cornice_rollup, SQL_ROLLUP),
+        # training-data pipeline ops
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP),
+        "token_count": (q_token_count, SQL_TOKENS),
+        "doc_quality": (q_doc_quality, SQL_QUALITY),
+        "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID),
+        "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
+        "ann_topk": (q_ann_topk, SQL_ANN),
+        "minhash_neardup": (q_minhash_neardup, None),  # rows-only
+        # relational shell
+        "tpch_pricing": (q_tpch_pricing, SQL_TPCH),
+    }

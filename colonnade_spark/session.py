@@ -1,0 +1,48 @@
+"""SparkSession factory with the configs this engine assumes."""
+
+from __future__ import annotations
+
+import os
+
+# glibc malloc tuning: without this, every >128 KB numpy temporary is an
+# mmap/munmap pair → page-fault storm (93% sys time observed) and the mm lock
+# serializes all executor python workers. Must be set before the JVM starts
+# so python workers inherit it. On a real cluster: spark.executorEnv.* .
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+    "MALLOC_MMAP_MAX_": "0",
+}
+
+
+def _apply_malloc_env() -> None:
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
+
+
+def get_spark(app: str = "colonnade_spark", cores: int | None = None,
+              shuffle_partitions: int | None = None, driver_mem: str = "48g",
+              ui: bool = False):
+    _apply_malloc_env()
+    from pyspark.sql import SparkSession
+
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = SparkSession.builder
+    for k, v in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+    return (
+        builder
+        .master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.ui.enabled", str(ui).lower())
+        .config("spark.log.level", "WARN")
+        .getOrCreate()
+    )

@@ -1,0 +1,115 @@
+"""End-to-end Spark tests: encode job → decode job → sha256 verification,
+skew salting, checkpoint/resume (SURVEY.md §5.2 items 4-6)."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from colonnade_spark import engine
+from colonnade_spark.corpus import generate_corpus
+from colonnade_spark.plan import corpus_plan
+
+N_FILES = 400
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    df = generate_corpus(spark, N_FILES, seed=42).cache()
+    df.count()
+    return df
+
+
+def test_encode_decode_verify(spark, corpus_df, tmp_path):
+    wh = str(tmp_path / "wh")
+    plan = corpus_plan()
+    manifest = engine.encode_table(spark, corpus_df, plan, wh,
+                                   n_buckets=8, stripe_bytes=1 << 20,
+                                   input_token="t1")
+    assert manifest["rows"] == N_FILES
+    assert manifest["bytes_out"] < manifest["bytes_in"]  # corpus is compressible
+    summary = engine.verify_roundtrip(spark, corpus_df, plan, wh)
+    assert summary == {"rows_source": N_FILES, "rows_decoded": N_FILES,
+                       "mismatches": 0, "ok": True}
+
+
+def test_lineage_and_codec_mix(spark, corpus_df, tmp_path):
+    wh = str(tmp_path / "wh")
+    plan = corpus_plan()
+    engine.encode_table(spark, corpus_df, plan, wh, n_buckets=4, input_token="t2")
+    lin = engine.lineage_table(spark, wh)
+    rows = lin.collect()
+    assert all(r["bytes_out"] > 0 for r in rows)
+    codecs_used = {r["codec"] for r in rows}
+    assert "plain" in codecs_used or "fsst" in codecs_used
+    # lang is low-cardinality → dict/rle somewhere
+    lang_codecs = {r["codec"] for r in rows if r["column"] == "lang"}
+    assert lang_codecs & {"dict", "rle"}
+
+
+def test_resume_skips_completed_buckets(spark, corpus_df, tmp_path):
+    wh = str(tmp_path / "wh")
+    plan = corpus_plan()
+    m1 = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=6,
+                             input_token="t3")
+    assert m1["buckets_encoded_this_run"] > 0
+    # simulate a crash that lost two buckets' outputs+markers
+    markers = sorted(glob.glob(os.path.join(wh, "markers", "bucket_*.json")))
+    lost = markers[:2]
+    lost_ids = [json.load(open(p))["bucket"] for p in lost]
+    for p in lost:
+        os.remove(p)
+    before = {p: os.path.getmtime(p)
+              for p in glob.glob(os.path.join(wh, "blocks", "*", "*.parquet"))}
+    m2 = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=6,
+                             mode="resume", input_token="t3")
+    assert m2["buckets_encoded_this_run"] == 2
+    assert m2["buckets_resumed"] == m1["buckets_encoded_this_run"] - 2
+    after = {p: os.path.getmtime(p)
+             for p in glob.glob(os.path.join(wh, "blocks", "*", "*.parquet"))}
+    redone = {p for p in before if before[p] != after[p]}
+    assert all(f"bucket={b}" in " ".join(redone) for b in lost_ids)
+    untouched = {p for p in before if f"bucket={lost_ids[0]}" not in p
+                 and f"bucket={lost_ids[1]}" not in p}
+    assert all(before[p] == after[p] for p in untouched)  # no re-encode
+    # and the data still verifies
+    assert engine.verify_roundtrip(spark, corpus_df, plan, wh)["ok"]
+
+
+def test_deterministic_blocks_across_runs(spark, corpus_df, tmp_path):
+    """Re-encoding produces byte-identical blocks (resume safety)."""
+    import pyarrow.parquet as pq
+
+    plan = corpus_plan()
+    whs = [str(tmp_path / f"wh{i}") for i in range(2)]
+    for wh in whs:
+        engine.encode_table(spark, corpus_df, plan, wh, n_buckets=4,
+                            input_token="t4")
+    for b in range(4):
+        fa = os.path.join(whs[0], "blocks", f"bucket={b}", "part-0.parquet")
+        fb = os.path.join(whs[1], "blocks", f"bucket={b}", "part-0.parquet")
+        if os.path.exists(fa):
+            ta, tb = pq.read_table(fa), pq.read_table(fb)
+            assert ta.equals(tb)
+
+
+def test_verify_catches_corruption(spark, corpus_df, tmp_path):
+    import pyarrow.parquet as pq
+
+    wh = str(tmp_path / "wh")
+    plan = corpus_plan()
+    engine.encode_table(spark, corpus_df, plan, wh, n_buckets=2, input_token="t5")
+    # swap one stripe's content block with another column's block
+    bdir = glob.glob(os.path.join(wh, "blocks", "bucket=*", "*.parquet"))[0]
+    orig = pq.read_table(bdir)
+    t = orig.to_pydict()
+    ci = [i for i, c in enumerate(t["column"]) if c == "content"][0]
+    li = [i for i, c in enumerate(t["column"]) if c == "lang"][0]
+    t["block"][ci] = t["block"][li]
+    t["n_rows"][ci] = t["n_rows"][li]
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pydict(t, schema=orig.schema), bdir,
+                   compression="NONE")
+    summary = engine.verify_roundtrip(spark, corpus_df, plan, wh)
+    assert not summary["ok"]

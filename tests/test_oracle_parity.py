@@ -1,0 +1,75 @@
+"""Replicates the driver's correctness gate locally: run each queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row-count + order-insensitive values (column-name-sorted)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).fetch_df()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NULL>"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from colonnade_spark.queries import registry as reg
+
+    return reg()
+
+
+def _q_names():
+    from colonnade_spark.queries import registry as reg
+
+    return sorted(reg().keys())
+
+
+@pytest.mark.parametrize("name", _q_names())
+def test_query_matches_oracle(spark, registry, name):
+    fn, sql = registry[name]
+    sdf = fn(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check (driver's weak mode)
+        if name == "minhash_neardup":
+            # every doc should pair with its perturbed copy
+            n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+            matched = {min(a, b) for a, b, _ in srows if abs(a - b) == 1_000_000}
+            assert len(matched) >= 0.9 * n_docs
+        return
+    ddf = _duck(sql)
+    dcols = list(ddf.columns)
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    a, b = _canon(srows, scols), _canon(drows, dcols)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
