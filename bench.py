@@ -60,9 +60,12 @@ def encode_worker(cores: int, corpus_dir: str, out_json: str) -> None:
     content_bytes = df.select(F.sum(F.octet_length("content"))).collect()[0][0]
     wh = f"/tmp/colonnade_bench_wh_{cores}"
     shutil.rmtree(wh, ignore_errors=True)
+    # bucket count sized by data (~24 MB/bucket), floored at core count:
+    # tiny buckets pay fixed symbol-table cost, giant ones straggle
+    n_buckets = max(cores, int(content_bytes // (24 << 20)) + 1)
     t0 = time.time()
     manifest = engine.encode_table(
-        spark, df, corpus_plan(), wh, n_buckets=4 * cores,
+        spark, df, corpus_plan(), wh, n_buckets=n_buckets,
         stripe_bytes=4 << 20, mode="overwrite", input_token=f"bench{N_FILES}")
     wall = time.time() - t0
     # decode + verify wall (reported, not part of encode throughput)

@@ -31,7 +31,7 @@ MAGIC = b"CSPB"
 VERSION = 1
 
 #: selection candidates in deterministic tie-break order (lower wins ties)
-_CANDIDATE_ORDER = ("plain", "forbp", "dict", "rle", "fsst")
+_CANDIDATE_ORDER = ("plain", "forbp", "delta", "dict", "rle", "fsst")
 
 
 class BlockError(ValueError):

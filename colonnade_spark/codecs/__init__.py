@@ -8,13 +8,15 @@ from __future__ import annotations
 from .base import (KIND_BOOL, KIND_FLOAT, KIND_INT, KIND_STR, Codec,
                    ColumnData, ColumnStats, EncodeContext, compute_stats,
                    from_arrow, to_arrow)
+from .delta import DeltaCodec
 from .dictionary import DictCodec
 from .forbp import ForBitpackCodec
 from .fsst import FsstCodec
 from .plain import PlainCodec
 from .rle import RleCodec
 
-_ALL = [PlainCodec(), DictCodec(), RleCodec(), ForBitpackCodec(), FsstCodec()]
+_ALL = [PlainCodec(), DictCodec(), RleCodec(), ForBitpackCodec(),
+        DeltaCodec(), FsstCodec()]
 
 BY_NAME: dict[str, Codec] = {c.name: c for c in _ALL}
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in _ALL}

@@ -131,10 +131,23 @@ def _stripe_iter(pf_paths, columns, stripe_bytes):
         yield pa.Table.from_batches(buf)
 
 
+def _pin_arrow_threads() -> None:
+    """One arrow thread per executor python worker: each worker is already a
+    parallelism unit — N workers × default pa.cpu_count() threads oversubscribe
+    the box ~32× and collapse per-task throughput."""
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+    except Exception:
+        pass
+
+
 def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
                    plan_json: str, stripe_bytes: int) -> dict:
     """One checkpointable unit of work: encode every stripe of one bucket."""
     wall0 = time.perf_counter()
+    _pin_arrow_threads()
     plan = EncodePlan.from_json(plan_json)
     cols = plan.column_names
     bdir = os.path.join(warehouse, "blocks", f"bucket={bucket}")
@@ -220,6 +233,7 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
     projected = plan.project(df)
     schema_ddl = projected.select(*plan.column_names).schema.simpleString()
 
+    t_stage0 = time.time()
     need_stage = True
     if mode == "resume" and os.path.exists(staged_marker):
         with open(staged_marker) as f:
@@ -244,7 +258,16 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
             if m.get("plan_hash") == plan.plan_hash():
                 done.add(m["bucket"])
     pending = [b for b in all_buckets if b not in done]
+    # longest-first scheduling: Spark runs partitions in order, so putting the
+    # biggest buckets first removes end-of-job stragglers (the classic LPT
+    # heuristic) — worth ~5-10% wall at high parallelism
+    size_of = {b: sum(os.path.getsize(p) for p in glob.glob(
+        os.path.join(staged_dir, f"__bucket={b}", "*.parquet")))
+        for b in pending}
+    pending.sort(key=lambda b: (-size_of[b], b))
 
+    t_stage = time.time() - t_stage0
+    t_enc0 = time.time()
     plan_json = plan.to_json()
     results = []
     if pending:
@@ -264,6 +287,9 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
         "rows": sum(r["rows"] for r in results),
         "bytes_in": sum(r["bytes_in"] for r in results),
         "bytes_out": sum(r["bytes_out"] for r in results),
+        "stage_sec": round(t_stage, 3),
+        "encode_sec": round(time.time() - t_enc0, 3),
+        "task_wall_sec": round(sum(r.get("wall_s", 0) for r in results), 3),
         "fingerprint": fingerprint,
     }
     with open(manifest_path, "w") as f:
@@ -335,11 +361,20 @@ def verify_roundtrip(spark, source_df, plan: EncodePlan, warehouse: str) -> dict
         cond = (F.col(f"s.{c}__h").isNull() | F.col(f"d.{c}__h").isNull()
                 | (F.col(f"s.{c}__h") != F.col(f"d.{c}__h")))
         mismatch = cond if mismatch is None else (mismatch | cond)
-    bad = joined.filter(mismatch).count() if mismatch is not None else 0
+    # single pass: counts + mismatches in one aggregation so the decode
+    # pipeline executes exactly once
+    probe_s = f"s.{cmp_cols[0]}__h" if cmp_cols else plan.key_cols[0]
+    probe_d = f"d.{cmp_cols[0]}__h" if cmp_cols else plan.key_cols[0]
+    row = joined.agg(
+        F.count(F.col(probe_s)).alias("rows_source"),
+        F.count(F.col(probe_d)).alias("rows_decoded"),
+        F.sum(F.when(mismatch, 1).otherwise(0)).alias("mismatches"),
+    ).collect()[0]
+    bad = int(row["mismatches"] or 0)
     return {
-        "rows_source": src.count(),
-        "rows_decoded": decoded.count(),
-        "mismatches": int(bad),
+        "rows_source": int(row["rows_source"]),
+        "rows_decoded": int(row["rows_decoded"]),
+        "mismatches": bad,
         "ok": bad == 0,
     }
 

@@ -119,6 +119,26 @@ SQL_PIVOT = ("SELECT source, "
              + " FROM documents GROUP BY source")
 
 
+def q_cornice_endow(spark, sf_dir):
+    """Cornice endow: fold super-headers into qualified column names
+    (Encode.hs:279-286) — grouped plan flattened with name prefixes."""
+    from .cornice import cap, recap
+    from .plan import plan
+
+    ids = plan().headed("doc_id").headed("source")
+    body = plan().headed("lang").headed("n_chars")
+    cor = recap("doc", cap("ids", ids), cap("body", body))
+    flat = cor.endow(sep="_")
+    return flat.project(_read(spark, sf_dir, "documents"))
+
+
+SQL_ENDOW = """
+SELECT doc_id AS doc_ids_doc_id, source AS doc_ids_source,
+       lang AS doc_body_lang, n_chars AS doc_body_n_chars
+FROM documents
+"""
+
+
 def q_cornice_rollup(spark, sf_dir):
     """Hierarchical grouping (the Cornice header-tree analog as a data
     rollup: per (source, lang) manifest counts)."""
@@ -349,11 +369,15 @@ def registry() -> dict:
         "rt_forbp_ints": (_roundtrip("documents", ["doc_id", "n_chars"],
                                      {"doc_id": "forbp", "n_chars": "forbp"}),
                           _identity_sql(["doc_id", "n_chars"])),
+        "rt_delta_ints": (_roundtrip("documents", ["doc_id", "n_chars"],
+                                     {"doc_id": "delta", "n_chars": "delta"}),
+                          _identity_sql(["doc_id", "n_chars"])),
         # stats & combinators
         "stats_sizecolumns": (q_stats_sizecolumns, SQL_STATS),
         "plan_combinators": (q_plan_combinators, SQL_COMBINATORS),
         "columns_pivot": (q_columns_pivot, SQL_PIVOT),
         "cornice_rollup": (q_cornice_rollup, SQL_ROLLUP),
+        "cornice_endow": (q_cornice_endow, SQL_ENDOW),
         # training-data pipeline ops
         "dedup_exact": (q_dedup_exact, SQL_DEDUP),
         "token_count": (q_token_count, SQL_TOKENS),
