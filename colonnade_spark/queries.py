@@ -290,6 +290,89 @@ WHERE rank <= 5
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding cosine near-duplicate pairs (exact, threshold 0.45 — the
+    synthetic embeddings top out ~0.51)."""
+    from .simsearch import cosine_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(spark, emb, "embedding", "vec_id", threshold=0.45)
+    return out.select("id_a", "id_b")  # integer output only (fp-safe)
+
+
+SQL_EMB_NEARDUP = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b
+FROM v a, v b
+WHERE a.id < b.id
+  AND list_dot_product(a.e, b.e)
+      / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.45
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path): random-hyperplane bands prune the
+    cross join; exact re-rank within candidates.  Rows-only check
+    (approximate by design); recall vs brute force is tested in pytest."""
+    from .simsearch import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 10")
+    c = emb.filter("vec_id >= 10")
+    return lsh_topk(spark, q, c, "embedding", "vec_id", dim=64, k=5,
+                    n_bits=16, bands=4).select("qid", "nid", "rank")
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup summary on documents ∪ perturbed copies (rows-only):
+    pair counts per hamming distance, plus how many perturbed twins were
+    recalled — bounded output regardless of scale (the raw pair set is
+    inherently large on a homogeneous corpus; see textops docstring)."""
+    from pyspark.sql import functions as F
+
+    from .textops import simhash_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" t")).alias("text"))
+    pairs = simhash_near_dup_pairs(spark, docs.union(perturbed),
+                                   id_col="doc_id", text_col="text",
+                                   max_hamming=3)
+    return (pairs.groupBy("hamming")
+            .agg(F.count("*").cast("bigint").alias("n_pairs"),
+                 F.sum(F.when(F.col("id_b") - F.col("id_a") == 1_000_000, 1)
+                       .otherwise(0)).cast("bigint").alias("n_perturbed_twins"))
+            .orderBy("hamming"))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Opaque binary payload metadata (multimodal plumbing, oracle-checked):
+    text bytes treated as an opaque blob."""
+    from pyspark.sql import functions as F
+
+    return (_read(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.octet_length("text").cast("bigint").alias("n_bytes"),
+                    F.md5(F.col("text")).alias("payload_md5")))
+
+
+SQL_MM_META = ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+               "md5(text) AS payload_md5 FROM documents")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Feature extraction over a binary column via mapInPandas (decode step
+    is the deterministic stub — real codecs absent here; rows-only)."""
+    from pyspark.sql import functions as F
+
+    from .multimodal import extract_features
+
+    df = (_read(spark, sf_dir, "documents")
+          .select("doc_id", F.col("text").cast("binary").alias("payload")))
+    return extract_features(df, "doc_id", "payload", modality="fake")
+
+
 def q_minhash_neardup(spark, sf_dir):
     """MinHash+LSH near-duplicate detection (rows-only check: not
     SQL-expressible).  To exercise the operator on data that actually has
@@ -347,8 +430,24 @@ GROUP BY l_returnflag, l_linestatus
 # registry
 # --------------------------------------------------------------------------
 
+def _shipped(fn):
+    """Every query ships the package to executors first — UDFs defined in
+    colonnade_spark modules are pickled by reference and need the zip on the
+    executor python path regardless of the driver's cwd."""
+    def wrapped(spark, sf_dir):
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def registry() -> dict:
     """name -> (fn, oracle_sql_or_None)"""
+    doc_all = ["doc_id", "text", "lang", "source", "n_chars"]
+    return {name: (_shipped(fn), sql) for name, (fn, sql) in _raw_registry().items()}
+
+
+def _raw_registry() -> dict:
     doc_all = ["doc_id", "text", "lang", "source", "n_chars"]
     return {
         # codec round-trips (isomorphism oracle per codec)
@@ -385,7 +484,12 @@ def registry() -> dict:
         "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
         "ann_topk": (q_ann_topk, SQL_ANN),
+        "ann_lsh_topk": (q_ann_lsh_topk, None),        # approximate → rows-only
+        "embedding_neardup": (q_embedding_neardup, SQL_EMB_NEARDUP),
         "minhash_neardup": (q_minhash_neardup, None),  # rows-only
+        "simhash_neardup": (q_simhash_neardup, None),  # rows-only
+        "multimodal_meta": (q_multimodal_meta, SQL_MM_META),
+        "multimodal_features": (q_multimodal_features, None),  # stub decode
         # relational shell
         "tpch_pricing": (q_tpch_pricing, SQL_TPCH),
     }

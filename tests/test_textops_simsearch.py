@@ -1,0 +1,125 @@
+"""Dedup family (MinHash, SimHash, exact Jaccard), similarity search
+(brute-force + LSH), multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _with_perturbed(docs, suffix=" tail"):
+    p = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(suffix)).alias("text"))
+    return docs.union(p)
+
+
+def test_minhash_finds_perturbed_pairs(spark, docs):
+    from colonnade_spark.textops import minhash_near_dup_pairs
+
+    pairs = minhash_near_dup_pairs(spark, _with_perturbed(docs), "doc_id",
+                                   "text", threshold=0.5).collect()
+    matched = {a for a, b, _ in pairs if b - a == 1_000_000}
+    n = docs.count()
+    assert len(matched) >= 0.9 * n
+    # estimates are plausible jaccards
+    assert all(0.5 <= e <= 1.0 for _, _, e in pairs)
+
+
+def test_exact_jaccard_verifies_minhash(spark, docs):
+    from colonnade_spark.textops import minhash_near_dup_pairs, ngram_jaccard_pairs
+
+    both = _with_perturbed(docs)
+    cand = minhash_near_dup_pairs(spark, both, "doc_id", "text", threshold=0.5)
+    exact = ngram_jaccard_pairs(spark, both, "doc_id", "text",
+                                cand.select("id_a", "id_b")).collect()
+    assert len(exact) > 0
+    assert all(0.4 <= r["jaccard"] <= 1.0 for r in exact)
+
+
+def test_simhash_pairs_and_hamming(spark, docs):
+    from colonnade_spark.textops import simhash_near_dup_pairs
+
+    # minimal perturbation (one short token): a short doc's simhash moves
+    # ~1-5 bits; banding (4 x 16-bit chunks) then recalls most pairs
+    pairs = simhash_near_dup_pairs(spark, _with_perturbed(docs, " t"), "doc_id",
+                                   "text", max_hamming=10).collect()
+    matched = {a for a, b, h in pairs if b - a == 1_000_000}
+    assert len(matched) >= 0.8 * docs.count()
+    assert all(0 <= h <= 10 for _, _, h in pairs)
+
+
+def test_simhash_deterministic():
+    from colonnade_spark.textops import simhash_batch
+
+    a = simhash_batch(["hello world code", ""], shingle=4)
+    b = simhash_batch(["hello world code", ""], shingle=4)
+    assert a == b
+    assert -(2**63) <= a[0] < 2**63
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    from colonnade_spark.simsearch import brute_force_topk, lsh_topk
+
+    q = emb.filter("vec_id < 10")
+    c = emb.filter("vec_id >= 10")
+    exact = brute_force_topk(spark, q, c, "embedding", "vec_id", k=5).collect()
+    approx = lsh_topk(spark, q, c, "embedding", "vec_id", dim=64, k=5,
+                      n_bits=16, bands=4).collect()
+    exact_set = {(r["qid"], r["nid"]) for r in exact}
+    approx_set = {(r["qid"], r["nid"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+    # approx similarities are true cosines (exact re-rank)
+    sim_by_pair = {(r["qid"], r["nid"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["nid"])
+        if key in sim_by_pair:
+            assert abs(sim_by_pair[key] - r["sim"]) < 1e-9
+
+
+def test_cosine_near_dup_pairs(spark, emb):
+    from colonnade_spark.simsearch import cosine_near_dup_pairs
+
+    # duplicate three vectors with new ids → guaranteed cos=1.0 pairs
+    dup = emb.filter("vec_id < 3").select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding", "label")
+    pairs = cosine_near_dup_pairs(spark, emb.union(dup), "embedding",
+                                  "vec_id", threshold=0.999).collect()
+    found = {(a, b) for a, b, _ in pairs}
+    assert {(0, 500_000), (1, 500_001), (2, 500_002)} <= found
+
+
+def test_multimodal_extract_and_frames(spark, docs):
+    from colonnade_spark.multimodal import extract_features, frame_sample_stub
+
+    binned = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    feats = extract_features(binned, "doc_id", "payload").collect()
+    assert len(feats) == docs.count()
+    for r in feats[:10]:
+        assert r["n_bytes"] >= 0 and len(r["features"]) == 8
+        if r["n_bytes"]:
+            assert 0 < r["entropy_milli"] < 8000
+            assert abs(sum(r["features"]) - 1.0) < 1e-3
+    frames = frame_sample_stub(binned.limit(5), "doc_id", "payload", every_n=4)
+    rows = frames.collect()
+    assert {r["id"] for r in rows} <= {r["doc_id"] for r in binned.limit(5).collect()}
+    assert all(r["frame_idx"] < 4 for r in rows)
+
+
+def test_multimodal_real_mode_is_explicit_stub(spark, docs):
+    from colonnade_spark.multimodal import extract_features
+
+    binned = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    with pytest.raises(NotImplementedError):
+        extract_features(binned, "doc_id", "payload", modality="real")
