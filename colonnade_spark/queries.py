@@ -295,13 +295,14 @@ def q_embedding_neardup(spark, sf_dir):
     synthetic embeddings top out ~0.51)."""
     from .simsearch import cosine_near_dup_pairs
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings").filter("vec_id < 1000")
     out = cosine_near_dup_pairs(spark, emb, "embedding", "vec_id", threshold=0.45)
     return out.select("id_a", "id_b")  # integer output only (fp-safe)
 
 
 SQL_EMB_NEARDUP = """
-WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+          WHERE vec_id < 1000)
 SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b
 FROM v a, v b
 WHERE a.id < b.id
@@ -332,7 +333,11 @@ def q_simhash_neardup(spark, sf_dir):
 
     from .textops import simhash_near_dup_pairs
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded subset: on a homogeneous corpus candidate pairs grow ~n² inside
+    # hot buckets; the operator demo stays scale-invariant at 2k docs (the
+    # full-scale answer is Manku recursive bucket splitting, see textops)
+    docs = (_read(spark, sf_dir, "documents")
+            .filter("doc_id < 2000").select("doc_id", "text"))
     perturbed = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" t")).alias("text"))

@@ -105,16 +105,20 @@ def lsh_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
 
 def cosine_near_dup_pairs(spark, df, vec_col: str, id_col: str,
                           threshold: float = 0.9):
-    """Exact embedding near-duplicate pairs (cosine >= threshold)."""
+    """Exact embedding near-duplicate pairs (cosine >= threshold).
+
+    Norms are computed once per vector (not per pair) — one dot product per
+    pair instead of three; same float values, 3x less work."""
     from pyspark.sql import functions as F
 
     v = df.select(F.col(id_col).alias("id"), F.expr(_dbl(vec_col)).alias("e"))
-    a = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"))
+    v = v.withColumn("n2", F.expr(_DOT.format(a="e", b="e")))
+    a = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"),
+                 F.col("n2").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"),
+                 F.col("n2").alias("nb"))
     dot = _DOT.format(a="ea", b="eb")
-    na = _DOT.format(a="ea", b="ea")
-    nb = _DOT.format(a="eb", b="eb")
-    sim = F.expr(f"({dot}) / sqrt(({na}) * ({nb}))")
+    sim = F.expr(f"({dot}) / sqrt(na * nb)")
     return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cos_sim", sim).filter(F.col("cos_sim") >= threshold)
             .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
