@@ -1,0 +1,81 @@
+"""Property-based round-trip tests — the direct analog of the reference's
+QuickCheck isomorphism suite (propIsoStream,
+/root/reference/siphon/test/Test.hs:262-276): for arbitrary generated
+columns, decode(encode(col)) == col, under every codec that accepts the
+column, including adversarial shapes (the reference's hostile cells
+generalized per FIXTURES.md)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from colonnade_spark.blocks import decode_block, encode_block
+
+_SETTINGS = dict(max_examples=40, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+text_cell = st.one_of(
+    st.text(max_size=200),
+    st.text(alphabet="ab,\n\r\"'\x00", max_size=30),       # hostile chars
+    st.sampled_from(["", " ", "def f(x):\n    return x\n",
+                     "日本語🎉", "x" * 3000]),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(text_cell, st.none()), max_size=120))
+def test_string_roundtrip_auto(vals):
+    arr = pa.array(vals, type=pa.string())
+    assert decode_block(encode_block(arr)).equals(arr)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(text_cell, min_size=1, max_size=80),
+       st.sampled_from(["plain", "dict", "rle", "fsst"]))
+def test_string_roundtrip_each_codec(vals, codec):
+    arr = pa.array(vals, type=pa.string())
+    assert decode_block(encode_block(arr, codec=codec)).equals(arr)
+
+
+int_cell = st.one_of(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.sampled_from([0, 1, -1, 2**63 - 1, -(2**63)]),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(int_cell, st.none()), max_size=120))
+def test_int_roundtrip_auto(vals):
+    arr = pa.array(vals, type=pa.int64())
+    assert decode_block(encode_block(arr)).equals(arr)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(int_cell, min_size=2, max_size=80),
+       st.sampled_from(["plain", "dict", "rle", "forbp", "delta"]))
+def test_int_roundtrip_each_codec(vals, codec):
+    arr = pa.array(vals, type=pa.int64())
+    assert decode_block(encode_block(arr, codec=codec)).equals(arr)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(st.booleans(), st.none()), max_size=100))
+def test_bool_roundtrip(vals):
+    arr = pa.array(vals, type=pa.bool_())
+    assert decode_block(encode_block(arr)).equals(arr)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(text_cell, max_size=60))
+def test_auto_never_exceeds_plain(vals):
+    """The compressed-size bound as a property: auto <= plain + frame slack."""
+    arr = pa.array(vals, type=pa.string())
+    assert len(encode_block(arr)) <= len(encode_block(arr, codec="plain")) + 160
+
+
+@settings(**_SETTINGS)
+@given(st.lists(text_cell, max_size=60))
+def test_encode_deterministic(vals):
+    arr = pa.array(vals, type=pa.string())
+    assert encode_block(arr) == encode_block(arr)
