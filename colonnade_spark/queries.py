@@ -173,6 +173,28 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_dedup_keep_first(spark, sf_dir):
+    """Materializing dedup: keep the lowest-id document per distinct text
+    (window rank over the content hash — the pipeline-facing variant of
+    dedup_exact)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (_read(spark, sf_dir, "documents")
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("doc_id", "text", "lang", "source"))
+
+
+SQL_DEDUP_KEEP = """
+SELECT doc_id, text, lang, source FROM (
+  SELECT doc_id, text, lang, source,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
 _TOKEN_EXPR = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
                "ELSE size(split(trim(text), '\\\\s+')) END")
 _TOKEN_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -484,6 +506,7 @@ def _raw_registry() -> dict:
         "cornice_endow": (q_cornice_endow, SQL_ENDOW),
         # training-data pipeline ops
         "dedup_exact": (q_dedup_exact, SQL_DEDUP),
+        "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP),
         "token_count": (q_token_count, SQL_TOKENS),
         "doc_quality": (q_doc_quality, SQL_QUALITY),
         "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID),
