@@ -400,6 +400,40 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(df, "doc_id", "payload", modality="fake")
 
 
+def q_codec_selection(spark, sf_dir):
+    """The auto-selector as a surface: encode each documents column, report
+    chosen codec + sizes (rows-only: codec choice is engine-defined)."""
+    def fn_batches(batches):
+        import pyarrow as pa
+
+        from colonnade_spark import blocks as B
+        agg = {}
+        for batch in batches:
+            for i, nm in enumerate(batch.schema.names):
+                blk = B.encode_block(batch.column(i))
+                info = B.block_info(blk)
+                cur = agg.setdefault(nm, {"codec": info["codec"],
+                                          "bytes_in": 0, "bytes_out": 0})
+                cur["bytes_in"] += batch.column(i).nbytes
+                cur["bytes_out"] += len(blk)
+        cols = sorted(agg)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols),
+             pa.array([agg[c]["codec"] for c in cols]),
+             pa.array([agg[c]["bytes_in"] for c in cols], type=pa.int64()),
+             pa.array([agg[c]["bytes_out"] for c in cols], type=pa.int64())],
+            names=["column", "codec", "bytes_in", "bytes_out"])
+
+    from pyspark.sql import functions as F
+
+    df = _read(spark, sf_dir, "documents").coalesce(1)
+    out_schema = "column string, codec string, bytes_in bigint, bytes_out bigint"
+    return df.mapInArrow(fn_batches, out_schema)              .groupBy("column").agg(
+                 F.first("codec").alias("codec"),
+                 F.sum("bytes_in").cast("bigint").alias("bytes_in"),
+                 F.sum("bytes_out").cast("bigint").alias("bytes_out"))
+
+
 def q_minhash_neardup(spark, sf_dir):
     """MinHash+LSH near-duplicate detection (rows-only check: not
     SQL-expressible).  To exercise the operator on data that actually has
@@ -505,6 +539,7 @@ def _raw_registry() -> dict:
         "cornice_rollup": (q_cornice_rollup, SQL_ROLLUP),
         "cornice_endow": (q_cornice_endow, SQL_ENDOW),
         # training-data pipeline ops
+        "codec_selection": (q_codec_selection, None),  # engine-defined
         "dedup_exact": (q_dedup_exact, SQL_DEDUP),
         "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP),
         "token_count": (q_token_count, SQL_TOKENS),
