@@ -29,10 +29,11 @@ class DeltaCodec(Codec):
         return col.kind == KIND_INT and col.n >= 2
 
     def estimate(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> int:
-        if "delta_w" not in ctx.extras:
-            zig = _zigzag(col.values)
-            ctx.extras["delta_w"] = width_for(int(zig.max())) if zig.size else 0
-        w = ctx.extras["delta_w"]
+        # recomputed per chunk — ctx persists across the stripes of a bucket,
+        # so caching the width there would estimate every later stripe with
+        # stripe 0's width (mis-selection)
+        zig = _zigzag(col.values)
+        w = width_for(int(zig.max())) if zig.size else 0
         return 8 + 1 + ((col.n - 1) * w + 7) // 8
 
     def encode(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> tuple[dict, bytes]:

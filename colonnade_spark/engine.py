@@ -144,7 +144,8 @@ def _pin_arrow_threads() -> None:
 
 
 def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
-                   plan_json: str, stripe_bytes: int) -> dict:
+                   plan_json: str, stripe_bytes: int,
+                   fingerprint: str = "") -> dict:
     """One checkpointable unit of work: encode every stripe of one bucket."""
     wall0 = time.perf_counter()
     _pin_arrow_threads()
@@ -193,7 +194,11 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
     ltmp = os.path.join(ldir, f"_tmp_{bucket}.parquet")
     pq.write_table(lineage_tbl, ltmp)
     os.replace(ltmp, os.path.join(ldir, f"bucket_{bucket}.parquet"))
-    marker = {"bucket": bucket, "plan_hash": plan.plan_hash(), "stripes": stripe,
+    # the marker carries the FULL staging fingerprint (plan + input token +
+    # bucket count), not just the plan hash: a resume against re-staged input
+    # or a different bucketing must not trust stale markers
+    marker = {"bucket": bucket, "plan_hash": plan.plan_hash(),
+              "fingerprint": fingerprint, "stripes": stripe,
               "rows": n_rows_total, "bytes_in": total_in, "bytes_out": total_out,
               "wall_s": round(time.perf_counter() - wall0, 3)}
     mtmp = os.path.join(warehouse, "markers", f"_tmp_{bucket}.json")
@@ -239,6 +244,10 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
         with open(staged_marker) as f:
             need_stage = json.load(f).get("fingerprint") != fingerprint
     if need_stage:
+        # staging (re)built → any existing markers/blocks describe OLD
+        # staged data; invalidate them so resume cannot trust stale state
+        for sub in ("markers", "blocks", "lineage"):
+            shutil.rmtree(os.path.join(warehouse, sub), ignore_errors=True)
         bucketed = assign_buckets(projected, plan, n_buckets, target_salt_bytes)
         order = plan.stage_order or plan.column_names
         (bucketed.repartition(n_buckets, F.col("__bucket"))
@@ -251,12 +260,17 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
     all_buckets = sorted(int(p.split("=")[-1])
                          for p in glob.glob(os.path.join(staged_dir, "__bucket=*")))
     done = set()
+    resumed_markers = []
     if mode == "resume":
         for mp in glob.glob(os.path.join(warehouse, "markers", "bucket_*.json")):
             with open(mp) as f:
                 m = json.load(f)
-            if m.get("plan_hash") == plan.plan_hash():
+            # full-fingerprint match: same plan AND same staged input AND
+            # same bucket count (ADVICE: plan_hash alone let stale markers
+            # validate against re-staged data)
+            if m.get("fingerprint") == fingerprint:
                 done.add(m["bucket"])
+                resumed_markers.append(m)
     pending = [b for b in all_buckets if b not in done]
     # longest-first scheduling: Spark runs partitions in order, so putting the
     # biggest buckets first removes end-of-job stragglers (the classic LPT
@@ -274,8 +288,12 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
         sc = spark.sparkContext
         rdd = sc.parallelize(pending, len(pending))
         results = rdd.map(lambda b: _encode_bucket(
-            b, staged_dir, warehouse, plan_json, stripe_bytes)).collect()
+            b, staged_dir, warehouse, plan_json, stripe_bytes,
+            fingerprint)).collect()
 
+    # corpus totals fold in resumed buckets' marker stats, so a post-resume
+    # manifest reports the WHOLE warehouse, not just this run's increment
+    all_stats = results + resumed_markers
     manifest = {
         "plan": json.loads(plan.to_json()),
         "plan_hash": plan.plan_hash(),
@@ -284,9 +302,9 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
         "stripe_bytes": stripe_bytes,
         "buckets_encoded_this_run": len(results),
         "buckets_resumed": len(done),
-        "rows": sum(r["rows"] for r in results),
-        "bytes_in": sum(r["bytes_in"] for r in results),
-        "bytes_out": sum(r["bytes_out"] for r in results),
+        "rows": sum(r["rows"] for r in all_stats),
+        "bytes_in": sum(r["bytes_in"] for r in all_stats),
+        "bytes_out": sum(r["bytes_out"] for r in all_stats),
         "stage_sec": round(t_stage, 3),
         "encode_sec": round(time.time() - t_enc0, 3),
         "task_wall_sec": round(sum(r.get("wall_s", 0) for r in results), 3),
@@ -307,32 +325,38 @@ def read_manifest(warehouse: str) -> dict:
 
 
 def decode_table(spark, warehouse: str):
-    """Blocks → rows. One applyInPandas group per (bucket, stripe): decode
+    """Blocks → rows. One applyInArrow group per (bucket, stripe): decode
     each column block, reassemble the row batch (the ``uncheckedRun`` analog,
-    /root/reference/siphon/src/Siphon.hs:718-749, per-block not per-row)."""
-    import pandas as pd
+    /root/reference/siphon/src/Siphon.hs:718-749, per-block not per-row).
+
+    Arrow end-to-end: the earlier applyInPandas path corrupted nullable
+    int64 via the pandas float64 conversion (values above 2^53); arrow
+    arrays pass through losslessly."""
+    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     manifest = read_manifest(warehouse)
     plan = EncodePlan.from_json(json.dumps(manifest["plan"]))
     cols = plan.column_names
     out_schema = manifest["schema_ddl"].replace("struct<", "").rstrip(">")
+    arrow_schema = to_arrow_schema(_parse_datatype_string(out_schema))
 
     blocks_df = spark.read.parquet(os.path.join(warehouse, "blocks"))
 
-    def reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        series = {}
-        n = None
-        for _, row in pdf.iterrows():
-            arr = B.decode_block(row["block"])
-            series[row["column"]] = arr.to_pandas()
-            n = len(arr)
-        missing = [c for c in cols if c not in series]
+    def reassemble(table: pa.Table) -> pa.Table:
+        names = table.column("column").to_pylist()
+        blocks = table.column("block")
+        arrays = {}
+        for i, name in enumerate(names):
+            arrays[name] = B.decode_block(blocks[i].as_py())
+        missing = [c for c in cols if c not in arrays]
         if missing:
             raise B.BlockError(f"stripe missing column blocks: {missing}")
-        return pd.DataFrame({c: series[c] for c in cols}, copy=False)
+        return pa.table(
+            {c: arrays[c].cast(arrow_schema.field(c).type) for c in cols})
 
     return (blocks_df.groupBy("bucket", "stripe")
-            .applyInPandas(reassemble, schema=out_schema))
+            .applyInArrow(reassemble, schema=out_schema))
 
 
 # --------------------------------------------------------------------------

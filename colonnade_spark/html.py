@@ -1,0 +1,133 @@
+"""HTML table render backend — the blaze/lucid-colonnade analog.
+
+Mirrors (semantics, not code — the reference is Haskell):
+
+* :func:`html_table` — ``encodeHtmlTable``
+  (/root/reference/blaze-colonnade/src/Text/Blaze/Colonnade.hs:305-326):
+  ``<table><thead><tr><th>…`` + ``<tbody>`` body rows, 4-space indent like
+  the reference's ``printCompactHtml`` doctests (Blaze/Colonnade.hs:73-250).
+* :func:`html_capped` — ``encodeCappedTable`` / lucid ``encodeTableSized``:
+  tiered ``<thead>`` rows with colspans from a Cornice annotation; a column
+  with width < 1 renders ``style="display:none;"`` instead of a colspan —
+  the ``setColspanOrHide`` behavior
+  (/root/reference/lucid-colonnade/src/Lucid/Colonnade.hs:228-231).
+* :func:`html_sectioned` — lucid ``sectioned``
+  (/root/reference/lucid-colonnade/src/Lucid/Colonnade.hs:269-292): rows
+  grouped by adjacent key, one full-width divider row (``colspan`` = column
+  count) per group.
+
+Like the reference's backends (and the ascii renderer here), these collect a
+bounded sample to the driver — they are report/debug surfaces for decoded
+samples, manifests and metrics tables, not distributed sinks.
+"""
+
+from __future__ import annotations
+
+_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+
+
+def escape_html(s: str) -> str:
+    """The ``Escaped c`` analog (siphon/src/Siphon.hs:85): content made safe
+    for the wire format before embedding."""
+    for ch, rep in _ESCAPES.items():
+        s = s.replace(ch, rep)
+    return s
+
+
+def _cell(v) -> str:
+    return escape_html("" if v is None else str(v))
+
+
+def _rows(df, limit: int):
+    return [[_cell(r[c]) for c in df.columns] for r in df.limit(limit).collect()]
+
+
+def _tr(cells: list, tag: str, indent: str, attrs: dict | None = None) -> list:
+    lines = [f"{indent}<tr>"]
+    attrs = attrs or {}
+    for i, c in enumerate(cells):
+        a = attrs.get(i, "")
+        lines.append(f"{indent}    <{tag}{a}>{c}</{tag}>")
+    lines.append(f"{indent}</tr>")
+    return lines
+
+
+def html_table(df, limit: int = 20, table_attrs: str = "") -> str:
+    """``encodeHtmlTable``: one header tier from column names, body from a
+    bounded sample."""
+    attrs = f" {table_attrs}" if table_attrs else ""
+    lines = [f"<table{attrs}>", "    <thead>"]
+    lines += _tr([_cell(c) for c in df.columns], "th", "        ")
+    lines += ["    </thead>", "    <tbody>"]
+    for row in _rows(df, limit):
+        lines += _tr(row, "td", "        ")
+    lines += ["    </tbody>", "</table>"]
+    return "\n".join(lines)
+
+
+def _colspan_or_hide(span: int) -> str:
+    """setColspanOrHide (Lucid/Colonnade.hs:228-231): zero-width nodes are
+    hidden, not dropped — positional structure is preserved."""
+    if span < 1:
+        return ' style="display:none;"'
+    return f' colspan="{span}"'
+
+
+def html_capped(cornice, df, limit: int = 20, widths: dict | None = None,
+                table_attrs: str = "") -> str:
+    """``encodeCappedTable``: tiered headers with colspans from the Cornice
+    annotation.  ``widths`` (column -> display width, e.g. from
+    ``annotate_finely``) marks zero-width columns: their header cells and
+    body cells render with ``display:none`` (setColspanOrHide)."""
+    ann = cornice.annotate()
+    flat = cornice.discard()
+    proj = flat.project(df).select(*flat.column_names)
+    widths = widths or {}
+    hidden = {i for i, c in enumerate(flat.column_names)
+              if widths.get(c, 1) < 1}
+
+    attrs = f" {table_attrs}" if table_attrs else ""
+    lines = [f"<table{attrs}>", "    <thead>"]
+    # super-header tiers: colspan per annotated node (zero-width → hidden)
+    for tier in ann.header_rows():
+        lines.append("        <tr>")
+        for lbl, span in tier:
+            lines.append(f"            <th{_colspan_or_hide(span)}>"
+                         f"{_cell(lbl)}</th>")
+        lines.append("        </tr>")
+    # leaf header tier: the column names themselves
+    leaf_attrs = {i: ' style="display:none;"' for i in hidden}
+    lines += _tr([_cell(c) for c in flat.column_names], "th", "        ",
+                 leaf_attrs)
+    lines += ["    </thead>", "    <tbody>"]
+    for row in _rows(proj, limit):
+        lines += _tr(row, "td", "        ", leaf_attrs)
+    lines += ["    </tbody>", "</table>"]
+    return "\n".join(lines)
+
+
+def html_sectioned(df, section_col: str, limit: int = 100,
+                   table_attrs: str = "") -> str:
+    """lucid ``sectioned`` (Lucid/Colonnade.hs:269-292): rows grouped by
+    adjacent section value; each group preceded by one divider row spanning
+    every column.  The sort that makes groups adjacent is the Spark-side
+    ``orderBy`` (the reference receives pre-grouped ``f (b, g a)``)."""
+    cols = [c for c in df.columns if c != section_col]
+    ordered = df.orderBy(section_col, *cols).limit(limit)
+    sample = ordered.collect()
+    attrs = f" {table_attrs}" if table_attrs else ""
+    lines = [f"<table{attrs}>", "    <thead>"]
+    lines += _tr([_cell(c) for c in cols], "th", "        ")
+    lines += ["    </thead>", "    <tbody>"]
+    current = object()
+    for r in sample:
+        key = r[section_col]
+        if key != current:
+            current = key
+            lines.append("        <tr>")
+            lines.append(f'            <td colspan="{len(cols)}">'
+                         f"{_cell(key)}</td>")
+            lines.append("        </tr>")
+        lines += _tr([_cell(r[c]) for c in cols], "td", "        ")
+    lines += ["    </tbody>", "</table>"]
+    return "\n".join(lines)

@@ -8,6 +8,13 @@ this container has no media libraries, so the default decoder is either a
 clearly-marked ``NotImplementedError`` ("real" mode) or a deterministic fake
 (byte-histogram features) used by tests and queries.
 
+Metadata (length / entropy / histogram features) is computed by a
+**batch-vectorized** kernel (:func:`batch_meta`): one concatenated byte
+buffer per batch, per-row segment reductions via ``np.bincount`` on
+``segment*256 + byte`` keys — no per-row Python in the metadata path.  The
+only per-row calls are ``zlib.crc32`` (a single C call per payload; CRC is
+byte-serial by definition) and the pluggable decoder seam.
+
 At 100 TB: binary payloads ride the same engine as text — ``blocks.py``
 handles ``binary``/``large_binary`` columns natively (plain codec; media is
 already entropy-coded, so auto-selection correctly falls back to plain), and
@@ -16,14 +23,15 @@ already entropy-coded, so auto-selection correctly falls back to plain), and
 
 from __future__ import annotations
 
-import sys
 import zlib
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 import pandas as pd
 
 _DECODERS: dict = {}
+
+N_FEATURES = 8
 
 FEATURE_SCHEMA = ("id bigint, n_bytes bigint, crc int, "
                   "entropy_milli bigint, features array<float>")
@@ -34,9 +42,10 @@ def register_decoder(modality: str, fn: Callable) -> None:
     _DECODERS[modality] = fn
 
 
-def _fake_decode(payload: bytes, n_features: int = 8) -> np.ndarray:
+def _fake_decode(payload: bytes, n_features: int = N_FEATURES) -> np.ndarray:
     """Deterministic stand-in for a media decoder: coarse byte-histogram.
-    Swap via register_decoder("image", real_fn) when codecs are available."""
+    Swap via register_decoder("image", real_fn) when codecs are available.
+    (Per-row reference implementation; the batch path is batch_meta.)"""
     b = np.frombuffer(payload or b"", dtype=np.uint8)
     if b.size == 0:
         return np.zeros(n_features, dtype=np.float32)
@@ -45,6 +54,7 @@ def _fake_decode(payload: bytes, n_features: int = 8) -> np.ndarray:
 
 
 def _entropy_milli(payload: bytes) -> int:
+    """Per-row reference implementation (tests compare batch_meta to this)."""
     b = np.frombuffer(payload or b"", dtype=np.uint8)
     if b.size == 0:
         return 0
@@ -53,50 +63,97 @@ def _entropy_milli(payload: bytes) -> int:
     return int(round(float(-(p * np.log2(p)).sum()) * 1000))
 
 
+def batch_meta(payloads: list) -> dict:
+    """Vectorized per-batch metadata over a list of bytes payloads.
+
+    Returns numpy arrays: n_bytes (int64), entropy_milli (int64), and
+    fake_features ((n, 8) float32 byte-histogram — the deterministic decoder
+    stand-in).  One pass over a concatenated buffer; per-row reductions are
+    ``np.bincount`` over ``segment*K + bucket`` keys — no per-row Python.
+    """
+    n = len(payloads)
+    bs = [bytes(p) if p is not None else b"" for p in payloads]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return {"n_bytes": lens,
+                "entropy_milli": np.zeros(n, dtype=np.int64),
+                "fake_features": np.zeros((n, N_FEATURES), dtype=np.float32)}
+    buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # per-row byte histograms: one bincount over (segment, byte) keys
+    counts = np.bincount(seg * 256 + buf, minlength=n * 256).reshape(n, 256)
+    safe = np.maximum(lens, 1).astype(np.float64)
+    p = counts / safe[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logp = np.where(p > 0, np.log2(np.where(p > 0, p, 1.0)), 0.0)
+    ent = -(p * logp).sum(axis=1) * 1000.0
+    ent_milli = np.round(ent).astype(np.int64)
+    ent_milli[lens == 0] = 0
+    # fake decoder features: coarse (>>5) histogram, same bincount trick
+    feat_counts = (np.bincount(seg * N_FEATURES + (buf >> 5).astype(np.int64),
+                               minlength=n * N_FEATURES)
+                   .reshape(n, N_FEATURES).astype(np.float32))
+    feats = feat_counts / safe[:, None].astype(np.float32)
+    feats[lens == 0] = 0.0
+    return {"n_bytes": lens, "entropy_milli": ent_milli,
+            "fake_features": feats}
+
+
+def _size_capped(pdf: pd.DataFrame, payload_col: str, max_batch_bytes: int):
+    """Split one pandas batch into byte-size-capped sub-batches (the
+    in-kernel size cap, SURVEY.md §4.2: one giant blob can't blow a task)."""
+    sizes = np.fromiter((len(p) if p is not None else 0
+                         for p in pdf[payload_col]), dtype=np.int64,
+                        count=len(pdf))
+    cum = np.cumsum(sizes)
+    lo = 0
+    while lo < len(pdf):
+        base = cum[lo - 1] if lo else 0
+        hi = int(np.searchsorted(cum, base + max_batch_bytes, side="left")) + 1
+        hi = min(max(hi, lo + 1), len(pdf))
+        yield pdf.iloc[lo:hi]
+        lo = hi
+
+
 def extract_features(df, id_col: str, bin_col: str, modality: str = "fake",
                      max_batch_bytes: int = 64 << 20):
     """binary column → per-item metadata + feature vector, via mapInPandas.
 
-    Batches are re-split by byte size inside the iterator so one giant blob
-    cannot blow a task (the in-kernel size cap, SURVEY.md §4.2)."""
+    Metadata (n_bytes, entropy) comes from the vectorized :func:`batch_meta`
+    kernel; features come from the registered decoder ("fake" = the
+    vectorized byte-histogram stand-in; a registered real decoder runs
+    per-row behind the seam)."""
     from pyspark.sql import functions as F
 
     if modality == "real":
         raise NotImplementedError(
             "no media codecs in this environment — register_decoder() a real "
             "decoder and pass its modality name")
-    decoder = _DECODERS.get(modality, _fake_decode)
+    decoder = _DECODERS.get(modality)
 
     src = df.select(F.col(id_col).cast("bigint").alias("id"),
                     F.col(bin_col).alias("payload"))
 
     def run(batches):
         for pdf in batches:
-            # size-capped sub-batches
-            sizes = pdf["payload"].map(lambda p: len(p) if p is not None else 0)
-            groups, acc, start = [], 0, 0
-            for i, s in enumerate(sizes):
-                acc += int(s)
-                if acc >= max_batch_bytes:
-                    groups.append((start, i + 1))
-                    start, acc = i + 1, 0
-            groups.append((start, len(pdf)))
-            for lo, hi in groups:
-                if lo >= hi:
-                    continue
-                sub = pdf.iloc[lo:hi]
-                feats, crcs, ents, lens = [], [], [], []
-                for p in sub["payload"]:
-                    p = bytes(p) if p is not None else b""
-                    feats.append(decoder(p).astype(np.float32).tolist())
-                    crcs.append(zlib.crc32(p) - (1 << 31))
-                    ents.append(_entropy_milli(p))
-                    lens.append(len(p))
+            for sub in _size_capped(pdf, "payload", max_batch_bytes):
+                payloads = list(sub["payload"])
+                meta = batch_meta(payloads)
+                # crc32 is byte-serial: one C call per payload
+                crcs = np.fromiter(
+                    (zlib.crc32(bytes(p) if p is not None else b"") - (1 << 31)
+                     for p in payloads), dtype=np.int32, count=len(payloads))
+                if decoder is None:
+                    feats = [row.tolist() for row in meta["fake_features"]]
+                else:
+                    feats = [decoder(bytes(p) if p is not None else b"")
+                             .astype(np.float32).tolist() for p in payloads]
                 yield pd.DataFrame({
                     "id": sub["id"].values,
-                    "n_bytes": np.asarray(lens, dtype=np.int64),
-                    "crc": np.asarray(crcs, dtype=np.int32),
-                    "entropy_milli": np.asarray(ents, dtype=np.int64),
+                    "n_bytes": meta["n_bytes"],
+                    "crc": crcs,
+                    "entropy_milli": meta["entropy_milli"],
                     "features": feats,
                 })
 

@@ -313,13 +313,29 @@ WHERE rank <= 5
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding cosine near-duplicate pairs (exact, threshold 0.45 — the
-    synthetic embeddings top out ~0.51)."""
+    """Embedding cosine near-duplicate pairs (exact=True: the all-pairs
+    oracle baseline, input capped at 1000 vectors; threshold 0.45 — the
+    synthetic embeddings top out ~0.51).  The scale path is the default
+    LSH-banded mode, exercised by ``embedding_neardup_lsh``."""
     from .simsearch import cosine_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings").filter("vec_id < 1000")
-    out = cosine_near_dup_pairs(spark, emb, "embedding", "vec_id", threshold=0.45)
+    out = cosine_near_dup_pairs(spark, emb, "embedding", "vec_id",
+                                threshold=0.45, exact=True)
     return out.select("id_a", "id_b")  # integer output only (fp-safe)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via the default LSH-banded path (the 100-TB
+    shape: band bucket-join, no CartesianProduct; rows-only — approximate
+    by design, recall vs the exact path is pytest-verified)."""
+    from .simsearch import cosine_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").filter("vec_id < 1000")
+    # loose threshold → short bands (r=2) for recall; see simsearch docstring
+    out = cosine_near_dup_pairs(spark, emb, "embedding", "vec_id",
+                                threshold=0.45, dim=64, n_bits=32, bands=16)
+    return out.select("id_a", "id_b")
 
 
 SQL_EMB_NEARDUP = """
@@ -355,11 +371,9 @@ def q_simhash_neardup(spark, sf_dir):
 
     from .textops import simhash_near_dup_pairs
 
-    # bounded subset: on a homogeneous corpus candidate pairs grow ~n² inside
-    # hot buckets; the operator demo stays scale-invariant at 2k docs (the
-    # full-scale answer is Manku recursive bucket splitting, see textops)
-    docs = (_read(spark, sf_dir, "documents")
-            .filter("doc_id < 2000").select("doc_id", "text"))
+    # full table: oversized buckets are handled by the Manku recursive
+    # bucket split inside simhash_pairs_from_sigs (no drop, no n² blowup)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     perturbed = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" t")).alias("text"))
@@ -390,19 +404,36 @@ SQL_MM_META = ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_b
 
 def q_multimodal_features(spark, sf_dir):
     """Feature extraction over a binary column via mapInPandas (decode step
-    is the deterministic stub — real codecs absent here; rows-only)."""
+    is the deterministic stub — real codecs absent here; rows-only).
+
+    Driver-canonicalizable output: the feature vector is projected to
+    integer milli-unit columns (f0..f7) — no array<float> in the result
+    (arrays are unhashable in the driver's canonical sort; CLAUDE.md: no
+    unbounded float outputs)."""
     from pyspark.sql import functions as F
 
-    from .multimodal import extract_features
+    from .multimodal import N_FEATURES, extract_features
 
     df = (_read(spark, sf_dir, "documents")
           .select("doc_id", F.col("text").cast("binary").alias("payload")))
-    return extract_features(df, "doc_id", "payload", modality="fake")
+    feats = extract_features(df, "doc_id", "payload", modality="fake")
+    f_cols = [F.round(F.col("features")[i] * 1000).cast("bigint")
+              .alias(f"f{i}_milli") for i in range(N_FEATURES)]
+    return feats.select(F.col("id").cast("bigint").alias("doc_id"),
+                        F.col("n_bytes").cast("bigint"),
+                        F.col("crc").cast("bigint").alias("crc"),
+                        F.col("entropy_milli").cast("bigint"),
+                        *f_cols)
 
 
 def q_codec_selection(spark, sf_dir):
     """The auto-selector as a surface: encode each documents column, report
-    chosen codec + sizes (rows-only: codec choice is engine-defined)."""
+    chosen codec + sizes (rows-only: codec choice is engine-defined).
+
+    Runs over the scan's natural partitions (no ``coalesce(1)`` funnel):
+    each task emits per-column partials; the merge is a deterministic
+    majority-by-bytes rule (ties broken by codec name), so the result is
+    stable for a fixed input regardless of partition count."""
     def fn_batches(batches):
         import pyarrow as pa
 
@@ -412,26 +443,35 @@ def q_codec_selection(spark, sf_dir):
             for i, nm in enumerate(batch.schema.names):
                 blk = B.encode_block(batch.column(i))
                 info = B.block_info(blk)
-                cur = agg.setdefault(nm, {"codec": info["codec"],
-                                          "bytes_in": 0, "bytes_out": 0})
+                cur = agg.setdefault((nm, info["codec"]),
+                                     {"bytes_in": 0, "bytes_out": 0})
                 cur["bytes_in"] += batch.column(i).nbytes
                 cur["bytes_out"] += len(blk)
-        cols = sorted(agg)
+        keys = sorted(agg)
         yield pa.RecordBatch.from_arrays(
-            [pa.array(cols),
-             pa.array([agg[c]["codec"] for c in cols]),
-             pa.array([agg[c]["bytes_in"] for c in cols], type=pa.int64()),
-             pa.array([agg[c]["bytes_out"] for c in cols], type=pa.int64())],
+            [pa.array([k[0] for k in keys]),
+             pa.array([k[1] for k in keys]),
+             pa.array([agg[k]["bytes_in"] for k in keys], type=pa.int64()),
+             pa.array([agg[k]["bytes_out"] for k in keys], type=pa.int64())],
             names=["column", "codec", "bytes_in", "bytes_out"])
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    df = _read(spark, sf_dir, "documents").coalesce(1)
+    df = _read(spark, sf_dir, "documents")
     out_schema = "column string, codec string, bytes_in bigint, bytes_out bigint"
-    return df.mapInArrow(fn_batches, out_schema)              .groupBy("column").agg(
-                 F.first("codec").alias("codec"),
-                 F.sum("bytes_in").cast("bigint").alias("bytes_in"),
-                 F.sum("bytes_out").cast("bigint").alias("bytes_out"))
+    partials = (df.mapInArrow(fn_batches, out_schema)
+                .groupBy("column", "codec")
+                .agg(F.sum("bytes_in").alias("cb_in"),
+                     F.sum("bytes_out").alias("cb_out")))
+    w = Window.partitionBy("column").orderBy(F.desc("cb_in"), F.asc("codec"))
+    winner = (partials.withColumn("rn", F.row_number().over(w))
+              .filter("rn = 1").select("column", "codec"))
+    totals = (partials.groupBy("column")
+              .agg(F.sum("cb_in").cast("bigint").alias("bytes_in"),
+                   F.sum("cb_out").cast("bigint").alias("bytes_out")))
+    return winner.join(totals, "column").select(
+        "column", "codec", "bytes_in", "bytes_out")
 
 
 def q_minhash_neardup(spark, sf_dir):
@@ -549,6 +589,7 @@ def _raw_registry() -> dict:
         "ann_topk": (q_ann_topk, SQL_ANN),
         "ann_lsh_topk": (q_ann_lsh_topk, None),        # approximate → rows-only
         "embedding_neardup": (q_embedding_neardup, SQL_EMB_NEARDUP),
+        "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),  # scale path
         "minhash_neardup": (q_minhash_neardup, None),  # rows-only
         "simhash_neardup": (q_simhash_neardup, None),  # rows-only
         "multimodal_meta": (q_multimodal_meta, SQL_MM_META),

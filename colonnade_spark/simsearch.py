@@ -12,7 +12,11 @@ Two paths, per the training-pipeline requirements:
   bucket-local instead of a full cross join.
 
 * :func:`cosine_near_dup_pairs` — embedding near-duplicate pairs above a
-  cosine threshold (exact; LSH pre-filter optional via ``bands``).
+  cosine threshold.  Default is the LSH-banded scale path (candidates share
+  >=1 random-hyperplane band; exact cosine verified on candidates only — no
+  CartesianProduct in the plan); ``exact=True`` switches to the exhaustive
+  all-pairs comparison (the oracle baseline; O(n²), driver-capped inputs
+  only).
 """
 
 from __future__ import annotations
@@ -104,22 +108,58 @@ def lsh_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
 
 
 def cosine_near_dup_pairs(spark, df, vec_col: str, id_col: str,
-                          threshold: float = 0.9):
-    """Exact embedding near-duplicate pairs (cosine >= threshold).
+                          threshold: float = 0.9, *, exact: bool = False,
+                          dim: int | None = None, n_bits: int = 32,
+                          bands: int = 8):
+    """Embedding near-duplicate pairs (cosine >= threshold).
+
+    Default path (the 100-TB shape): random-hyperplane LSH signatures
+    (:func:`with_lsh_signature`), banded into ``bands`` x ``n_bits/bands``
+    bit chunks; candidate pairs share >= 1 band (equi bucket-join, shuffle on
+    the band hash — no CartesianProduct); the exact cosine is then verified
+    on candidates only.  Near-identical vectors agree on every hyperplane
+    sign, so recall approaches 1 as the threshold does; for looser
+    thresholds raise ``bands`` (more, shorter bands = higher recall).
+
+    ``exact=True``: exhaustive all-pairs comparison — the correctness oracle
+    for the banded path.  O(n²); only for driver-capped inputs.
 
     Norms are computed once per vector (not per pair) — one dot product per
     pair instead of three; same float values, 3x less work."""
     from pyspark.sql import functions as F
 
     v = df.select(F.col(id_col).alias("id"), F.expr(_dbl(vec_col)).alias("e"))
+    if not exact:
+        if dim is None:
+            first = v.select(F.size("e")).first()
+            dim = int(first[0]) if first else 0
+        v = with_lsh_signature(v, "e", dim or 1, n_bits)
     v = v.withColumn("n2", F.expr(_DOT.format(a="e", b="e")))
-    a = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"),
-                 F.col("n2").alias("na"))
-    b = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"),
-                 F.col("n2").alias("nb"))
+
+    if exact:
+        a = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"),
+                     F.col("n2").alias("na"))
+        b = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"),
+                     F.col("n2").alias("nb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        rb = n_bits // bands
+        mask = (1 << rb) - 1
+        bandcols = F.array(*[
+            F.shiftright(F.col("lsh_sig"), i * rb).bitwiseAND(F.lit(mask))
+            for i in range(bands)])
+        ex = v.select("id", "e", "n2",
+                      F.posexplode(bandcols).alias("band", "bh"))
+        a = ex.select(F.col("id").alias("id_a"), F.col("e").alias("ea"),
+                      F.col("n2").alias("na"), "band", "bh")
+        b = ex.select(F.col("id").alias("id_b"), F.col("e").alias("eb"),
+                      F.col("n2").alias("nb"), "band", "bh")
+        pairs = (a.join(b, ["band", "bh"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .dropDuplicates(["id_a", "id_b"]))
     dot = _DOT.format(a="ea", b="eb")
     sim = F.expr(f"({dot}) / sqrt(na * nb)")
-    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos_sim", sim).filter(F.col("cos_sim") >= threshold)
+    return (pairs.withColumn("cos_sim", sim)
+            .filter(F.col("cos_sim") >= threshold)
             .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
                     "cos_sim"))

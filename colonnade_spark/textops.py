@@ -4,11 +4,22 @@ MinHash+LSH near-duplicate detection: shingle → minhash signature (vectorized
 numpy inside a pandas UDF — the only Python step) → banding → bucket
 self-join → signature-estimated Jaccard filter (all JVM-side array ops).
 
+Kernel design (no per-row Python): each batch's strings are concatenated
+into ONE byte buffer; rolling shingle keys are computed for the whole buffer
+in a single vectorized pass (the concatenated-buffer technique the FSST
+kernel uses); per-document reductions are ``np.minimum.reduceat`` /
+``np.add.reduceat`` over document start offsets.  MinHash needs no
+per-document ``unique`` at all — min over a multiset equals min over its
+set — and SimHash uses shingle-frequency-weighted votes (the standard
+weighted variant).
+
 At 100 TB scale the bucket self-join is the hazard: a degenerate bucket
-(e.g. empty strings) goes quadratic.  Mitigated here by a per-bucket size cap
-(drop buckets larger than ``max_bucket``; such buckets are almost always
-boilerplate that exact-dedup already catches — same practice as web-dedup
-pipelines).
+(e.g. boilerplate) goes quadratic.  MinHash mitigates with a per-bucket size
+cap (such buckets are almost always boilerplate that exact-dedup already
+catches).  SimHash goes further with the Manku-style recursive bucket split
+(Manku, Jain & Sarma, WWW 2007 "Detecting Near-Duplicates for Web
+Crawling"): oversized buckets are re-banded on the remaining chunks instead
+of dropped, so homogeneous corpora keep their true pairs.
 """
 
 from __future__ import annotations
@@ -19,36 +30,139 @@ import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 _M64 = (1 << 64) - 1
 
 
+def _i64(u: int) -> np.int64:
+    """Reinterpret a uint64 constant as two's-complement int64."""
+    return np.int64(u - (1 << 64) if u >= (1 << 63) else u)
+
+
 def _mix64(x: np.ndarray) -> np.ndarray:
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_M64)
-    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(_M64)
-    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(_M64)
-    return x ^ (x >> np.uint64(31))
+    """splitmix64 finalizer, in-place temporaries (modular uint64).
+
+    Multiplies run on an int64 VIEW: numpy's int64 multiply is SIMD-
+    vectorized while uint64 is not (~6x), and products mod 2^64 are
+    bit-identical in two's complement.  Shifts stay unsigned."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    xi = x.view(np.int64)
+    t = x >> np.uint64(30)
+    np.bitwise_xor(x, t, out=x)
+    np.multiply(xi, _i64(0xBF58476D1CE4E5B9), out=xi)
+    np.right_shift(x, np.uint64(27), out=t)
+    np.bitwise_xor(x, t, out=x)
+    np.multiply(xi, _i64(0x94D049BB133111EB), out=xi)
+    np.right_shift(x, np.uint64(31), out=t)
+    np.bitwise_xor(x, t, out=x)
+    return x
+
+
+def _shingle_keys(texts, shingle: int):
+    """Vectorized shingling for a whole batch.
+
+    Returns ``(keys, starts, counts)``: mixed uint64 shingle keys for every
+    document concatenated in document order, plus each document's slice
+    ``keys[starts[i] : starts[i] + counts[i]]``.  Documents shorter than the
+    shingle width contribute one zero-padded 8-byte key (so every document
+    has >= 1 key and reduceat segments are never empty).  One pass over one
+    concatenated buffer — no per-document Python loop.
+    """
+    n = len(texts)
+    bs = [(t or "").encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    counts = np.maximum(lens - shingle + 1, 1)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    total = int(starts[-1])
+    keys = np.zeros(total, dtype=np.uint64)
+
+    buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+
+    long_mask = lens >= shingle
+    short_idx = np.flatnonzero(~long_mask)
+    nk = buf.size - shingle + 1
+    if long_mask.any() and nk > 0 and shingle <= 8:
+        # all rolling keys in ONE pass: unaligned little-endian uint64 view
+        # of the padded buffer, masked down to `shingle` bytes
+        padded = np.zeros(((buf.size + 15) // 8) * 8, dtype=np.uint8)
+        padded[:buf.size] = buf
+        u64 = np.lib.stride_tricks.as_strided(
+            padded.view(np.uint64), shape=(nk,), strides=(1,))
+        roll = u64 & np.uint64((1 << (8 * shingle)) - 1)
+        # validity: windows must not cross a document boundary — clear the
+        # shingle-1 positions before each boundary (this also covers every
+        # position inside short documents)
+        valid = np.ones(nk, dtype=bool)
+        bad = (off[1:, None] - np.arange(1, shingle, dtype=np.int64)).ravel()
+        bad = bad[(bad >= 0) & (bad < nk)]
+        valid[bad] = False
+        # output slots: everything except the short-docs' single slots
+        out_mask = np.ones(total, dtype=bool)
+        out_mask[starts[short_idx]] = False
+        keys[out_mask] = roll[valid]
+    elif long_mask.any() and nk > 0:
+        # wide-shingle fallback (shingle > 8): explicit rolling build
+        roll = np.zeros(nk, dtype=np.uint64)
+        for j in range(shingle):
+            roll |= buf[j: nk + j].astype(np.uint64) << np.uint64(8 * (j % 8))
+        valid = np.ones(nk, dtype=bool)
+        bad = (off[1:, None] - np.arange(1, shingle, dtype=np.int64)).ravel()
+        bad = bad[(bad >= 0) & (bad < nk)]
+        valid[bad] = False
+        out_mask = np.ones(total, dtype=bool)
+        out_mask[starts[short_idx]] = False
+        keys[out_mask] = roll[valid]
+    if short_idx.size:
+        # zero-padded little-endian 8-byte key per short document
+        mat = np.zeros((short_idx.size, 8), dtype=np.uint64)
+        for j in range(min(shingle - 1, 8)):
+            sel = lens[short_idx] > j
+            if sel.any():
+                rows = np.flatnonzero(sel)
+                mat[rows, j] = buf[off[short_idx[rows]] + j]
+        key = (mat << (np.uint64(8) * np.arange(8, dtype=np.uint64))).sum(
+            axis=1, dtype=np.uint64)
+        keys[starts[short_idx]] = key
+    return _mix64(keys), starts[:-1], counts
 
 
 def minhash_signature_batch(texts, n_hashes: int = 64, shingle: int = 5) -> list:
-    """Signatures for a batch of strings; pure numpy, deterministic."""
-    # per-hash affine params, fixed seed
+    """Signatures for a batch of strings; pure numpy, deterministic.
+
+    Per hash function: one 1-D affine transform over ALL shingle keys in the
+    batch, then ``np.minimum.reduceat`` over document offsets — no
+    per-document and no per-hash-inner Python loops.  (No per-document
+    ``unique`` either: min over duplicates equals min over the set.)
+    """
     rng = np.random.default_rng(0xC01A_0B0E)
     A = rng.integers(1, _M64, size=n_hashes, dtype=np.uint64) | np.uint64(1)
     Bc = rng.integers(0, _M64, size=n_hashes, dtype=np.uint64)
-    out = []
-    for t in texts:
-        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-        if b.size < shingle:
-            keys = np.array([int.from_bytes(b.tobytes().ljust(8, b"\0"), "little")],
-                            dtype=np.uint64)
-        else:
-            k = np.zeros(b.size - shingle + 1, dtype=np.uint64)
-            for j in range(shingle):
-                k |= b[j: b.size - shingle + 1 + j].astype(np.uint64) << np.uint64(8 * j)
-            keys = np.unique(k)
-        m = _mix64(keys)
-        # sig_i = min over shingles of (A_i * m + B_i) mod 2^64
-        sig = np.array([int((m * A[i] + Bc[i]).min()) for i in range(n_hashes)],
-                       dtype=np.uint64)
-        out.append((sig >> np.uint64(1)).astype(np.int64).tolist())  # fit in long
-    return out
+    keys, starts, _counts = _shingle_keys(texts, shingle)
+    n = len(texts)
+    if n == 0:
+        return []
+    sigs = np.empty((n_hashes, n), dtype=np.uint64)
+    h = np.empty_like(keys)
+    hi, ki = h.view(np.int64), keys.view(np.int64)
+    Ai, Bi = A.view(np.int64), Bc.view(np.int64)
+    for i in range(n_hashes):
+        # modular mul/add on the int64 view (SIMD path; same bits mod 2^64),
+        # min on the uint64 view (minhash needs UNSIGNED order)
+        np.multiply(ki, Ai[i], out=hi)
+        np.add(hi, Bi[i], out=hi)
+        sigs[i] = np.minimum.reduceat(h, starts)
+    out = (sigs >> np.uint64(1)).astype(np.int64).T  # fit in long
+    return [row.tolist() for row in out]
+
+
+def _spread(df):
+    """Ensure the signature UDF gets enough tasks to use the cluster: a
+    single small parquet file otherwise serializes the whole kernel in one
+    task.  No-op when the input already has enough partitions (at scale the
+    scan supplies them — no extra shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def with_minhash(df, text_col: str, sig_col: str = "sig",
@@ -60,7 +174,7 @@ def with_minhash(df, text_col: str, sig_col: str = "sig",
     def sig_udf(s: pd.Series) -> pd.Series:
         return pd.Series(minhash_signature_batch(s.tolist(), n_hashes, shingle))
 
-    return df.withColumn(sig_col, sig_udf(F.col(text_col)))
+    return _spread(df).withColumn(sig_col, sig_udf(F.col(text_col)))
 
 
 def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
@@ -105,24 +219,29 @@ def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
 # --------------------------------------------------------------------------
 
 def simhash_batch(texts, shingle: int = 4) -> list:
-    """64-bit SimHash over character shingles; pure numpy, deterministic."""
-    out = []
-    for t in texts:
-        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-        if b.size < shingle:
-            keys = np.array([int.from_bytes(b.tobytes().ljust(8, b"\0"), "little")],
-                            dtype=np.uint64)
-        else:
-            k = np.zeros(b.size - shingle + 1, dtype=np.uint64)
-            for j in range(shingle):
-                k |= b[j: b.size - shingle + 1 + j].astype(np.uint64) << np.uint64(8 * j)
-            keys = np.unique(k)
-        h = _mix64(keys)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        score = 2 * bits.sum(axis=0) - h.size          # +1/-1 vote per bit
-        sig = int((score > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
-        out.append(sig - (1 << 63))                    # shift into int64 range
-    return out
+    """64-bit SimHash over character shingles; pure numpy, deterministic.
+
+    Frequency-weighted votes (each shingle occurrence votes +1/-1 per bit);
+    vote sums accumulate via ``np.add.reduceat`` over document offsets in
+    bounded slabs — no per-document Python loop.  Votes are SIGNED int64
+    (a uint64 vote sum wraps negative scores to huge positives and saturates
+    the signature — the round-1 bug).
+    """
+    keys, starts, counts = _shingle_keys(texts, shingle)
+    n = len(texts)
+    if n == 0:
+        return []
+    # 64 one-dimensional passes: per bit, count set keys per document via
+    # np.add.reduceat (keeps peak memory at O(total_keys), not keys x 64)
+    sig_bits = np.empty((64, n), dtype=np.int64)
+    for b in range(64):
+        bit_b = ((keys >> np.uint64(b)) & np.uint64(1)).view(np.int64)
+        sig_bits[b] = np.add.reduceat(bit_b, starts)
+    score = 2 * sig_bits - counts[None, :]         # SIGNED +1/-1 vote sums
+    bitvals = (score > 0)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[:, None]
+    sigs = (bitvals.astype(np.uint64) * weights).sum(axis=0, dtype=np.uint64)
+    return sigs.view(np.int64).tolist()            # two's-complement int64
 
 
 def with_simhash(df, text_col: str, sig_col: str = "simhash", shingle: int = 4):
@@ -133,45 +252,83 @@ def with_simhash(df, text_col: str, sig_col: str = "simhash", shingle: int = 4):
     def sim_udf(s: pd.Series) -> pd.Series:
         return pd.Series(simhash_batch(s.tolist(), shingle))
 
-    return df.withColumn(sig_col, sim_udf(F.col(text_col)))
+    return _spread(df).withColumn(sig_col, sim_udf(F.col(text_col)))
 
 
-def simhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
-                           max_hamming: int = 6, shingle: int = 4,
-                           max_bucket: int = 100_000):
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4 x 16-bit
-    chunks (pigeonhole: a pair within hamming distance 3 MUST share a chunk;
-    within 6 it shares one w.h.p.), bucket-join, verify exact hamming
-    distance JVM-side (bit_count).
+def simhash_pairs_from_sigs(df_sigged, id_col: str, sig_col: str = "simhash",
+                            max_hamming: int = 6, max_bucket: int = 10_000):
+    """Near-dup pairs from precomputed 64-bit signatures: band into 4 x
+    16-bit chunks (pigeonhole: a pair within hamming distance 3 MUST share a
+    chunk; within 6 it shares one w.h.p.), bucket-join, verify exact hamming
+    JVM-side (``bit_count``).
 
-    Scale note: on homogeneous corpora the signature bits skew (most-frequent
-    shingles dominate) and one chunk value can hold most of the corpus — at
-    100 TB the production answer is Manku et al.'s recursive bucket split
-    (re-band oversized buckets on the remaining 48 bits); here oversized
-    buckets are allowed up to ``max_bucket`` and dropped beyond it."""
+    Scale path — Manku-style recursive bucket split (WWW 2007): buckets
+    larger than ``max_bucket`` are NOT dropped; their members are re-banded
+    on the remaining three chunks (key = matched chunk + one other chunk) and
+    pair-joined in those refined buckets.  This preserves recall on
+    homogeneous corpora where one chunk value holds most of the corpus (the
+    guarantee weakens from hamming<=3 to hamming<=2 inside oversized buckets:
+    3 bit-diffs can spread 1+1+1 over the other three chunks).  Buckets still
+    oversized after refinement are dropped (documented residual).
+    """
     from pyspark.sql import functions as F
 
-    sigged = with_simhash(df.select(id_col, text_col), text_col, shingle=shingle)
     chunks = F.array(*[
-        F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+        F.shiftright(F.col(sig_col), i * 16).bitwiseAND(F.lit(0xFFFF))
          .cast("int").alias(f"c{i}") for i in range(4)])
-    exploded = sigged.select(id_col, "simhash",
-                             F.posexplode(chunks).alias("band", "bh"))
-    sizes = (exploded.groupBy("band", "bh").agg(F.count("*").alias("bn"))
-             .filter(F.col("bn").between(2, max_bucket)))
-    pruned = exploded.join(sizes, ["band", "bh"], "left_semi")
-    a = pruned.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
-                      "band", "bh")
-    b = pruned.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
-                      "band", "bh")
-    pairs = (a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sig_a", "sig_b")
+    exploded = df_sigged.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
+        F.posexplode(chunks).alias("band", "bh")).cache()
+    sizes = exploded.groupBy("band", "bh").agg(F.count("*").alias("bn"))
+    ok = sizes.filter(F.col("bn").between(2, max_bucket))
+    over = sizes.filter(F.col("bn") > max_bucket)
+
+    def pair_join(members, key_cols):
+        a = members.select(F.col("_id").alias("id_a"),
+                           F.col("_sig").alias("sig_a"), *key_cols)
+        b = members.select(F.col("_id").alias("id_b"),
+                           F.col("_sig").alias("sig_b"), *key_cols)
+        return (a.join(b, key_cols).filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "sig_a", "sig_b"))
+
+    level0 = pair_join(exploded.join(ok, ["band", "bh"], "left_semi"),
+                       ["band", "bh"])
+
+    # Manku split: members of oversized buckets get a refined key
+    # (band, bh, band2, bh2) over the remaining chunks
+    over_members = exploded.join(over, ["band", "bh"], "left_semi")
+    chunks2 = F.array(*[
+        F.shiftright(F.col("_sig"), i * 16).bitwiseAND(F.lit(0xFFFF))
+         .cast("int").alias(f"d{i}") for i in range(4)])
+    refined = (over_members
+               .select("_id", "_sig", "band", "bh",
+                       F.posexplode(chunks2).alias("band2", "bh2"))
+               .filter(F.col("band2") != F.col("band")))
+    sizes2 = (refined.groupBy("band", "bh", "band2", "bh2")
+              .agg(F.count("*").alias("bn2"))
+              .filter(F.col("bn2").between(2, max_bucket)))
+    level1 = pair_join(refined.join(sizes2, ["band", "bh", "band2", "bh2"],
+                                    "left_semi"),
+                       ["band", "bh", "band2", "bh2"])
+
+    pairs = (level0.unionByName(level1)
              .dropDuplicates(["id_a", "id_b"]))
     ham = F.expr("bit_count(sig_a ^ sig_b)")
     return (pairs.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
                     "hamming"))
+
+
+def simhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
+                           max_hamming: int = 6, shingle: int = 4,
+                           max_bucket: int = 10_000):
+    """Near-dup pairs by SimHash over text: signature UDF + recursive-split
+    bucket join (see :func:`simhash_pairs_from_sigs`)."""
+    sigged = with_simhash(df.select(id_col, text_col), text_col, shingle=shingle)
+    return simhash_pairs_from_sigs(sigged, id_col, "simhash",
+                                   max_hamming=max_hamming,
+                                   max_bucket=max_bucket)
 
 
 # --------------------------------------------------------------------------
@@ -188,18 +345,10 @@ def ngram_jaccard_pairs(spark, df, id_col: str, text_col: str, pairs_df,
 
     @F.pandas_udf(ArrayType(LongType()))
     def shingles_udf(s: pd.Series) -> pd.Series:
-        out = []
-        for t in s.tolist():
-            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-            if b.size < shingle:
-                out.append([int.from_bytes(b.tobytes().ljust(8, b"\0"), "little") >> 1])
-                continue
-            k = np.zeros(b.size - shingle + 1, dtype=np.uint64)
-            for j in range(shingle):
-                k |= b[j: b.size - shingle + 1 + j].astype(np.uint64) << np.uint64(8 * j)
-            out.append((np.unique(_mix64(np.unique(k))) >> np.uint64(1))
-                       .astype(np.int64).tolist())
-        return pd.Series(out)
+        keys, starts, counts = _shingle_keys(s.tolist(), shingle)
+        signed = (keys >> np.uint64(1)).astype(np.int64)
+        return pd.Series([np.unique(signed[starts[i]: starts[i] + counts[i]])
+                          .tolist() for i in range(len(s))])
 
     sh = df.select(F.col(id_col), shingles_udf(F.col(text_col)).alias("sh"))
     j = (pairs_df

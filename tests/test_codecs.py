@@ -182,3 +182,26 @@ def test_deterministic_blocks():
     vals = ["line%d\n" % (i % 37) * (i % 11) for i in range(2000)]
     arr = pa.array(vals)
     assert encode_block(arr) == encode_block(arr)
+
+
+def test_delta_estimate_not_cached_across_chunks():
+    """ADVICE regression: a shared EncodeContext across stripes must not make
+    later chunks inherit stripe 0's zigzag width in the size estimate."""
+    import numpy as np
+    import pyarrow as pa
+
+    from colonnade_spark.codecs import (BY_NAME, EncodeContext, compute_stats,
+                                        from_arrow)
+
+    delta = BY_NAME["delta"]
+    ctx = EncodeContext()
+    tiny = pa.array(np.arange(4096, dtype=np.int64))            # deltas = 1
+    huge = pa.array(np.arange(4096, dtype=np.int64) * (1 << 40))  # wide deltas
+    c1, _ = from_arrow(tiny)
+    c2, _ = from_arrow(huge)
+    e1 = delta.estimate(c1, compute_stats(c1, tiny), ctx)
+    e2 = delta.estimate(c2, compute_stats(c2, huge), ctx)
+    # the wide-delta chunk really is estimated wide (not stripe 0's width)
+    _, payload2 = delta.encode(c2, compute_stats(c2, huge), ctx)
+    assert e2 >= len(payload2) * 0.9
+    assert e2 > e1 * 10

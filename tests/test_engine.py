@@ -113,3 +113,56 @@ def test_verify_catches_corruption(spark, corpus_df, tmp_path):
                    compression="NONE")
     summary = engine.verify_roundtrip(spark, corpus_df, plan, wh)
     assert not summary["ok"]
+
+
+def test_resume_rejects_stale_markers_on_changed_input(spark, tmp_path):
+    """ADVICE regression: with mode=resume and a CHANGED input token, staging
+    is rebuilt and old markers must be invalidated — every bucket re-encodes
+    against the new data (no silent stale blocks)."""
+    df1 = generate_corpus(spark, 100, seed=1)
+    df2 = generate_corpus(spark, 100, seed=2)
+    wh = str(tmp_path / "wh")
+    plan = corpus_plan()
+    m1 = engine.encode_table(spark, df1, plan, wh, n_buckets=4,
+                             input_token="in1")
+    assert m1["buckets_encoded_this_run"] > 0
+    m2 = engine.encode_table(spark, df2, plan, wh, n_buckets=4,
+                             mode="resume", input_token="in2")
+    assert m2["buckets_resumed"] == 0
+    assert m2["buckets_encoded_this_run"] > 0
+    # warehouse now verifies against the NEW corpus, not the old one
+    assert engine.verify_roundtrip(spark, df2, plan, wh)["ok"]
+    assert not engine.verify_roundtrip(spark, df1, plan, wh)["ok"]
+
+
+def test_resume_manifest_reports_full_totals(spark, corpus_df, tmp_path):
+    """ADVICE regression: after a resume, manifest totals cover the whole
+    warehouse (resumed buckets folded in), not just this run's increment."""
+    wh = str(tmp_path / "wh")
+    plan = corpus_plan()
+    m1 = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=6,
+                             input_token="tt")
+    markers = sorted(glob.glob(os.path.join(wh, "markers", "bucket_*.json")))
+    os.remove(markers[0])
+    m2 = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=6,
+                             mode="resume", input_token="tt")
+    assert m2["buckets_encoded_this_run"] == 1
+    assert m2["rows"] == m1["rows"] == N_FILES
+    assert m2["bytes_in"] == m1["bytes_in"]
+    assert m2["bytes_out"] == m1["bytes_out"]
+
+
+def test_decode_preserves_large_int64_with_nulls(spark, tmp_path):
+    """ADVICE regression: nullable int64 above 2^53 must round-trip exactly
+    (the pandas float64 path silently corrupted them; arrow path must not)."""
+    big = (1 << 60) + 12345
+    rows = [(i, big + i if i % 3 else None, f"r{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long, s string")
+    from colonnade_spark.plan import plan as mkplan
+    p = (mkplan().headed("k").headed("v").headed("s").with_keys("k"))
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, df, p, wh, n_buckets=2, input_token="bigint")
+    decoded = {r["k"]: r["v"] for r in engine.decode_table(spark, wh).collect()}
+    for i in range(500):
+        expect = big + i if i % 3 else None
+        assert decoded[i] == expect, (i, decoded[i], expect)

@@ -1,0 +1,90 @@
+"""HTML backend golden tests — mirror the reference's blaze doctest tables
+(/root/reference/blaze-colonnade/src/Text/Blaze/Colonnade.hs:73-250: the
+employees Name/Age table) and the lucid setColspanOrHide / sectioned
+behaviors (lucid-colonnade/src/Lucid/Colonnade.hs:228-231, 269-292)."""
+
+import pytest
+
+EMPLOYEES = [("Thaddeus", 34, "Sales"),
+             ("Lucia", 33, "Engineering"),
+             ("Pranav", 57, "Management")]
+
+
+@pytest.fixture(scope="module")
+def employees(spark):
+    return spark.createDataFrame(EMPLOYEES, "Name string, Age int, Dept string")
+
+
+def test_html_table_golden(employees):
+    from colonnade_spark.html import html_table
+
+    got = html_table(employees.select("Name", "Age"),
+                     table_attrs='class="stylish-table" id="main-table"')
+    expected = """\
+<table class="stylish-table" id="main-table">
+    <thead>
+        <tr>
+            <th>Name</th>
+            <th>Age</th>
+        </tr>
+    </thead>
+    <tbody>
+        <tr>
+            <td>Thaddeus</td>
+            <td>34</td>
+        </tr>
+        <tr>
+            <td>Lucia</td>
+            <td>33</td>
+        </tr>
+        <tr>
+            <td>Pranav</td>
+            <td>57</td>
+        </tr>
+    </tbody>
+</table>"""
+    assert got == expected
+
+
+def test_html_escaping(spark):
+    from colonnade_spark.html import html_table
+
+    df = spark.createDataFrame([('<b>&"x"</b>',)], "c string")
+    out = html_table(df)
+    assert "&lt;b&gt;&amp;&quot;x&quot;&lt;/b&gt;" in out
+    assert "<b>" not in out.replace("<tbody>", "").replace("<table>", "")
+
+
+def test_html_capped_colspans_and_hide(spark, employees):
+    from colonnade_spark.cornice import cap, recap
+    from colonnade_spark.html import html_capped
+    from colonnade_spark.plan import plan
+
+    ids = plan().headed("Name")
+    body = plan().headed("Age").headed("Dept")
+    cor = recap("employee", cap("who", ids), cap("facts", body))
+    out = html_capped(cor, employees)
+    # tier colspans follow the annotation: employee=3, who=1, facts=2
+    assert '<th colspan="3">employee</th>' in out
+    assert '<th colspan="1">who</th>' in out
+    assert '<th colspan="2">facts</th>' in out
+    # zero-width column → hidden, not dropped (setColspanOrHide)
+    out2 = html_capped(cor, employees, widths={"Dept": 0})
+    assert out2.count('style="display:none;"') == 1 + len(EMPLOYEES)
+    assert "<td>Sales</td>" not in out2  # the hidden cells carry the style
+    assert 'style="display:none;">Sales</td>' in out2
+
+
+def test_html_sectioned_group_dividers(spark):
+    from colonnade_spark.html import html_sectioned
+
+    rows = [("a", 1), ("b", 2), ("a", 3), ("b", 4), ("a", 5)]
+    df = spark.createDataFrame(rows, "grp string, v int")
+    out = html_sectioned(df, "grp")
+    # one divider per distinct adjacent group, spanning all data columns
+    assert out.count('<td colspan="1">') == 2
+    # group rows are adjacent after their divider
+    a_pos = out.index('<td colspan="1">a</td>')
+    b_pos = out.index('<td colspan="1">b</td>')
+    assert a_pos < out.index("<td>1</td>") < b_pos
+    assert b_pos < out.index("<td>2</td>")

@@ -91,13 +91,99 @@ def test_lsh_topk_recall_vs_brute_force(spark, emb):
 def test_cosine_near_dup_pairs(spark, emb):
     from colonnade_spark.simsearch import cosine_near_dup_pairs
 
-    # duplicate three vectors with new ids → guaranteed cos=1.0 pairs
+    # duplicate three vectors with new ids → guaranteed cos=1.0 pairs;
+    # identical vectors agree on every hyperplane sign, so the default
+    # LSH-banded path has recall 1 on them
     dup = emb.filter("vec_id < 3").select(
         (F.col("vec_id") + 500_000).alias("vec_id"), "embedding", "label")
     pairs = cosine_near_dup_pairs(spark, emb.union(dup), "embedding",
-                                  "vec_id", threshold=0.999).collect()
+                                  "vec_id", threshold=0.999, dim=64).collect()
     found = {(a, b) for a, b, _ in pairs}
     assert {(0, 500_000), (1, 500_001), (2, 500_002)} <= found
+
+
+def test_cosine_near_dup_banded_plan_and_recall(spark, emb):
+    """The default (banded) path must be shuffle-join shaped — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the physical
+    plan — and recover the exact pair set on the synthetic data."""
+    from colonnade_spark.simsearch import cosine_near_dup_pairs
+
+    sub = emb.filter("vec_id < 400")
+    # threshold 0.45 is a loose angle (~63°): shorter bands (r=2) keep
+    # per-pair miss probability ~1e-4; the 0.9-style defaults use longer
+    # bands because tight angles agree on almost every hyperplane
+    banded = cosine_near_dup_pairs(spark, sub, "embedding", "vec_id",
+                                   threshold=0.45, dim=64,
+                                   n_bits=32, bands=16)
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    exact = cosine_near_dup_pairs(spark, sub, "embedding", "vec_id",
+                                  threshold=0.45, exact=True)
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in banded.collect()}
+    assert b <= e                      # banded never invents pairs
+    if e:
+        assert len(b & e) / len(e) >= 0.8, (len(b), len(e))
+
+
+def test_simhash_manku_split_recovers_capped_pairs(spark):
+    """Homogeneous-corpus scenario: every level-0 bucket is oversized, so a
+    plain size cap would drop ALL pairs; the Manku recursive split re-bands
+    oversized buckets on the remaining chunks and recovers the twins."""
+    import numpy as np
+
+    from colonnade_spark.textops import simhash_pairs_from_sigs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 40 docs in 20 identical-signature twin pairs; each 16-bit chunk value
+    # drawn from a 4-symbol alphabet → every (band, chunk) bucket holds ~10
+    # members (> max_bucket=8) at level 0, while (chunk_i, chunk_j) refined
+    # buckets hold ~2.5 (< 8) at level 1
+    for p in range(20):
+        chunks = rng.integers(0, 4, size=4)
+        sig = 0
+        for i, c in enumerate(chunks):
+            sig |= int(c) << (i * 16)
+        sig = int(np.uint64(sig).view(np.int64))
+        rows.append((2 * p, sig))
+        rows.append((2 * p + 1, sig))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    # without the split (max_bucket large enough that level 0 works) — the
+    # ground truth this skewed corpus should produce
+    full = simhash_pairs_from_sigs(df, "doc_id", max_hamming=0,
+                                   max_bucket=1000)
+    truth = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    twin_pairs = {(2 * p, 2 * p + 1) for p in range(20)}
+    assert twin_pairs <= truth
+
+    # with the cap at 8, level 0 finds nothing; the split must recover the
+    # twin pairs through refined (chunk_i, chunk_j) buckets
+    capped = simhash_pairs_from_sigs(df, "doc_id", max_hamming=0,
+                                     max_bucket=8)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert twin_pairs <= got, f"split failed to recover: {twin_pairs - got}"
+
+
+def test_batch_meta_matches_per_row_reference():
+    """The vectorized metadata kernel (one bincount over the concatenated
+    buffer) must equal the per-row reference implementations exactly."""
+    import numpy as np
+
+    from colonnade_spark.multimodal import (_entropy_milli, _fake_decode,
+                                            batch_meta)
+
+    payloads = [b"hello world", b"", b"\x00" * 100, bytes(range(256)) * 3,
+                "héllo 中文".encode(), b"a", None]
+    meta = batch_meta(payloads)
+    for i, p in enumerate(payloads):
+        p = p or b""
+        assert meta["n_bytes"][i] == len(p)
+        assert meta["entropy_milli"][i] == _entropy_milli(p)
+        np.testing.assert_allclose(meta["fake_features"][i], _fake_decode(p),
+                                   rtol=1e-6)
 
 
 def test_multimodal_extract_and_frames(spark, docs):
