@@ -32,6 +32,9 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -103,9 +106,30 @@ def encode_worker(cores: int, corpus_dir: str, out_json: str,
     spark.stop()
 
 
+def _warm_workers(spark) -> None:
+    """Spin up every executor python worker once (pandas_udf + arrow paths)
+    before timing: worker startup + first-touch page faults otherwise land
+    on whichever UDF query happens to run first (~10 s attributed to one
+    arbitrary query).  Standard warm-JIT benchmarking practice; documented
+    in BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    n = spark.sparkContext.defaultParallelism
+
+    @F.pandas_udf("double")
+    def touch(s: pd.Series) -> pd.Series:
+        _ = np.zeros(1 << 22)  # first-touch a few MB per worker
+        return s * 1.0
+
+    (spark.range(n * 4, numPartitions=n)
+     .select(touch(F.col("id").cast("double")))
+     .write.format("noop").mode("overwrite").save())
+
+
 def run_queries(spark, sf_dir: str) -> dict:
     from colonnade_spark.queries import registry
 
+    _warm_workers(spark)
     timings = {}
     for name, (fn, _sql) in registry().items():
         t0 = time.time()
@@ -141,15 +165,16 @@ def main() -> None:
     from colonnade_spark.session import get_spark
     from colonnade_spark.shipping import ensure_shipped
 
+    skip_encode = os.environ.get("BENCH_SKIP_ENCODE") == "1"
     spark = get_spark("bench_queries", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     ensure_shipped(spark)
-    corpus_dir = ensure_corpus(spark, N_FILES)
+    corpus_dir = None if skip_encode else ensure_corpus(spark, N_FILES)
     timings = run_queries(spark, sf_dir)
     spark.stop()
 
     encode = {}
-    if os.environ.get("BENCH_SKIP_ENCODE") != "1":
+    if not skip_encode:
         results = {}
         # verify (decode + sha256) runs once, at the headline high level
         results[low] = _run_level(low, corpus_dir, attempts=2, verify=False)

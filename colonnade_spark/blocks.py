@@ -31,7 +31,7 @@ MAGIC = b"CSPB"
 VERSION = 1
 
 #: selection candidates in deterministic tie-break order (lower wins ties)
-_CANDIDATE_ORDER = ("plain", "forbp", "delta", "dict", "rle", "fsst")
+_CANDIDATE_ORDER = ("plain", "forbp", "delta", "dict", "rle", "fsst", "fbss")
 
 
 class BlockError(ValueError):
@@ -58,7 +58,8 @@ def select_codec(col, stats, ctx, exclude=()) -> str:
 
 
 def encode_block(arr: pa.Array, codec: str = "auto", exclude=(),
-                 ctx: EncodeContext | None = None) -> bytes:
+                 ctx: EncodeContext | None = None,
+                 post: str | None = None) -> bytes:
     """Encode one arrow array into a framed, self-describing block.
 
     ``ctx`` may be passed in to reuse expensive per-column scratch (the FSST
@@ -69,6 +70,12 @@ def encode_block(arr: pa.Array, codec: str = "auto", exclude=(),
     With ``codec="auto"`` the encoded payload is *guaranteed* <= the plain
     payload: if the estimate-selected codec turns out worse on the actual
     data (estimates are sample-based), we fall back to plain post-hoc.
+
+    ``post`` is the user-facing post-encode ``fmap``
+    (/root/reference/colonnade/src/Colonnade/Encode.hs:569: map content
+    AFTER the cell encoder runs): an optional transform over the already-
+    encoded payload, recorded in the header and inverted on decode.
+    Currently ``"zlib"`` (DEFLATE over the block payload).
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -104,6 +111,11 @@ def encode_block(arr: pa.Array, codec: str = "auto", exclude=(),
             params, payload = plain.encode(col, stats, ctx)
     if params:
         header["p"] = params
+    if post is not None:
+        if post != "zlib":
+            raise BlockError(f"unknown post-encode transform {post!r}")
+        payload = zlib.compress(bytes(payload), 6)
+        header["z"] = 1
     header["crc"] = zlib.crc32(payload)
     return _frame(c.codec_id, header, payload)
 
@@ -114,6 +126,8 @@ def decode_block(buf: bytes | memoryview) -> pa.Array:
         return pa.array([], type=pa.type_for_alias(header["t"]))
     if header.get("crc") is not None and zlib.crc32(payload) != header["crc"]:
         raise BlockError(f"crc mismatch in block (codec_id={codec_id})")
+    if header.get("z"):
+        payload = memoryview(zlib.decompress(payload))
     codec = BY_ID.get(codec_id)
     if codec is None:
         raise BlockError(f"unknown codec id {codec_id}")

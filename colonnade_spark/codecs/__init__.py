@@ -10,13 +10,14 @@ from .base import (KIND_BOOL, KIND_FLOAT, KIND_INT, KIND_STR, Codec,
                    from_arrow, to_arrow)
 from .delta import DeltaCodec
 from .dictionary import DictCodec
+from .floatbss import FloatBssCodec
 from .forbp import ForBitpackCodec
 from .fsst import FsstCodec
 from .plain import PlainCodec
 from .rle import RleCodec
 
 _ALL = [PlainCodec(), DictCodec(), RleCodec(), ForBitpackCodec(),
-        DeltaCodec(), FsstCodec()]
+        DeltaCodec(), FsstCodec(), FloatBssCodec()]
 
 BY_NAME: dict[str, Codec] = {c.name: c for c in _ALL}
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in _ALL}

@@ -167,7 +167,8 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
             spec = next(s for s in plan.specs if s.name == name)
             arr = table.column(name).combine_chunks()
             t0 = time.perf_counter()
-            blk = B.encode_block(arr, codec=spec.codec, ctx=ctxs[name])
+            blk = B.encode_block(arr, codec=spec.codec, ctx=ctxs[name],
+                                 post=spec.post)
             ms = (time.perf_counter() - t0) * 1e3
             info = B.block_info(blk)
             bytes_in = arr.nbytes

@@ -106,6 +106,26 @@ def html_capped(cornice, df, limit: int = 20, widths: dict | None = None,
     return "\n".join(lines)
 
 
+def html_definition_table(df, table_attrs: str = "") -> str:
+    """yesod ``encodeDefinitionTable``
+    (/root/reference/yesod-colonnade/src/Yesod/Colonnade.hs:118-131): a
+    TRANSPOSED two-column render of a single row — one ``<tr><th>name</th>
+    <td>value</td></tr>`` per column.  Takes the first row of ``df`` (the
+    reference takes exactly one value)."""
+    rows = df.limit(1).collect()
+    attrs = f" {table_attrs}" if table_attrs else ""
+    lines = [f"<table{attrs}>", "    <tbody>"]
+    if rows:
+        r = rows[0]
+        for c in df.columns:
+            lines.append("        <tr>")
+            lines.append(f"            <th>{_cell(c)}</th>")
+            lines.append(f"            <td>{_cell(r[c])}</td>")
+            lines.append("        </tr>")
+    lines += ["    </tbody>", "</table>"]
+    return "\n".join(lines)
+
+
 def html_sectioned(df, section_col: str, limit: int = 100,
                    table_attrs: str = "") -> str:
     """lucid ``sectioned`` (Lucid/Colonnade.hs:269-292): rows grouped by

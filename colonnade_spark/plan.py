@@ -37,9 +37,13 @@ class ColumnSpec:
     name: str                 # output column name (the header value)
     expr: str                 # Spark SQL expression (the lmap pre-projection)
     codec: str = "auto"       # codec name or "auto"
+    post: Optional[str] = None  # post-encode fmap over the block payload
 
     def canonical(self) -> dict:
-        return {"name": self.name, "expr": self.expr, "codec": self.codec}
+        d = {"name": self.name, "expr": self.expr, "codec": self.codec}
+        if self.post:
+            d["post"] = self.post
+        return d
 
 
 @dataclass(frozen=True)
@@ -109,11 +113,63 @@ class EncodePlan:
     def map_header(self, fn) -> "EncodePlan":
         """Transform header (column) names only."""
         return replace(self, specs=tuple(
-            ColumnSpec(fn(s.name), s.expr, s.codec) for s in self.specs))
+            ColumnSpec(fn(s.name), s.expr, s.codec, s.post)
+            for s in self.specs))
+
+    def post_encode(self, name: str, transform: str = "zlib") -> "EncodePlan":
+        """Post-encode ``fmap`` (the content Functor,
+        /root/reference/colonnade/src/Colonnade/Encode.hs:569): map the
+        column's content AFTER the encoder runs — here a named transform
+        over the encoded block payload (e.g. DEFLATE), inverted on decode."""
+        if not any(s.name == name for s in self.specs):
+            raise KeyError(f"no column {name!r} in plan")
+        return replace(self, specs=tuple(
+            ColumnSpec(s.name, s.expr, s.codec, transform)
+            if s.name == name else s for s in self.specs))
 
     def to_headless(self) -> "EncodePlan":
         """Positional block layout: headers live in the manifest only."""
         return replace(self, headless=True)
+
+    def to_headed(self, names: Sequence[str]) -> "EncodePlan":
+        """General ``mapHeadedness`` in the headless→headed direction
+        (/root/reference/colonnade/src/Colonnade/Encode.hs:397-399): attach
+        manifest names to positional columns.  ALL problems are aggregated
+        into one error (the EitherWrap discipline, siphon/src/Siphon.hs:
+        546-555), never first-failure."""
+        errs = []
+        if len(names) != len(self.specs):
+            errs.append(f"arity: {len(self.specs)} positional columns, "
+                        f"{len(names)} names")
+        seen: dict = {}
+        for nm in names:
+            seen[nm] = seen.get(nm, 0) + 1
+        errs.extend(f"duplicate name: {nm!r} x{k}"
+                    for nm, k in seen.items() if k > 1)
+        if errs:
+            raise ValueError("to_headed resolution failed: " + "; ".join(errs))
+        return replace(self, headless=False, specs=tuple(
+            ColumnSpec(nm, s.expr, s.codec, s.post)
+            for nm, s in zip(names, self.specs)))
+
+    def resolve_positions(self, actual_names: Sequence[str]) -> dict:
+        """``headedToIndexed`` at plan level
+        (/root/reference/siphon/src/Siphon.hs:252-278): resolve this plan's
+        expected column names against an actual name sequence (permuted ok,
+        extras ignored).  Returns {name: index}; missing and duplicated
+        names are ALL aggregated into one error."""
+        errs, out = [], {}
+        for s in self.specs:
+            hits = [i for i, nm in enumerate(actual_names) if nm == s.name]
+            if not hits:
+                errs.append(f"missing column: {s.name!r}")
+            elif len(hits) > 1:
+                errs.append(f"duplicate column: {s.name!r} at {hits}")
+            else:
+                out[s.name] = hits[0]
+        if errs:
+            raise ValueError("header resolution failed: " + "; ".join(errs))
+        return out
 
     def with_keys(self, *key_cols: str) -> "EncodePlan":
         return replace(self, key_cols=tuple(key_cols))
@@ -133,15 +189,15 @@ class EncodePlan:
 
     def with_codec(self, name: str, codec: str) -> "EncodePlan":
         return replace(self, specs=tuple(
-            ColumnSpec(s.name, s.expr, codec) if s.name == name else s
+            ColumnSpec(s.name, s.expr, codec, s.post) if s.name == name else s
             for s in self.specs))
 
     def _rewrite(self, name: str, fn) -> "EncodePlan":
         if not any(s.name == name for s in self.specs):
             raise KeyError(f"no column {name!r} in plan")
         return replace(self, specs=tuple(
-            ColumnSpec(s.name, fn(s.expr), s.codec) if s.name == name else s
-            for s in self.specs))
+            ColumnSpec(s.name, fn(s.expr), s.codec, s.post)
+            if s.name == name else s for s in self.specs))
 
     # -- execution surface ---------------------------------------------------
     @property
@@ -177,7 +233,8 @@ class EncodePlan:
     def from_json(s: str) -> "EncodePlan":
         d = json.loads(s)
         return EncodePlan(
-            specs=tuple(ColumnSpec(c["name"], c["expr"], c["codec"]) for c in d["specs"]),
+            specs=tuple(ColumnSpec(c["name"], c["expr"], c["codec"],
+                                   c.get("post")) for c in d["specs"]),
             key_cols=tuple(d["keys"]),
             partition_col=d.get("partition_col"),
             cluster_cols=tuple(d.get("cluster", [])),

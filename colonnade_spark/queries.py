@@ -25,7 +25,9 @@ def _read(spark, sf_dir: str, name: str):
 # round-trip queries (one per codec + auto) — the isomorphism oracle
 # --------------------------------------------------------------------------
 
-def _roundtrip(table: str, out_cols: list, codecs: dict):
+def _roundtrip(table: str, out_cols: list, codecs: dict, posts: dict = None):
+    _posts = posts or {}
+
     def fn(spark, sf_dir):
         ensure_shipped(spark)
         df = _read(spark, sf_dir, table).select(*out_cols)
@@ -37,7 +39,8 @@ def _roundtrip(table: str, out_cols: list, codecs: dict):
             for batch in batches:
                 names = batch.schema.names
                 arrs = [B.decode_block(B.encode_block(batch.column(i),
-                                                      codec=codecs.get(nm, "auto")))
+                                                      codec=codecs.get(nm, "auto"),
+                                                      post=_posts.get(nm)))
                         for i, nm in enumerate(names)]
                 yield pa.RecordBatch.from_arrays(arrs, names=names)
 
@@ -46,8 +49,8 @@ def _roundtrip(table: str, out_cols: list, codecs: dict):
     return fn
 
 
-def _identity_sql(cols: list) -> str:
-    return f"SELECT {', '.join(cols)} FROM documents"
+def _identity_sql(cols: list, table: str = "documents") -> str:
+    return f"SELECT {', '.join(cols)} FROM {table}"
 
 
 # --------------------------------------------------------------------------
@@ -362,6 +365,19 @@ def q_ann_lsh_topk(spark, sf_dir):
                     n_bits=16, bands=4).select("qid", "nid", "rank")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (the other scale path: coarse-centroid cells,
+    query probes n_probe cells, exact re-rank inside).  Rows-only
+    (approximate by design); recall vs brute force is pytest-verified."""
+    from .simsearch import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 10")
+    c = emb.filter("vec_id >= 10")
+    return ivf_topk(spark, q, c, "embedding", "vec_id", dim=64, k=5,
+                    n_cells=16, n_probe=6).select("qid", "nid", "rank")
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup summary on documents ∪ perturbed copies (rows-only):
     pair counts per hamming distance, plus how many perturbed twins were
@@ -572,6 +588,19 @@ def _raw_registry() -> dict:
         "rt_delta_ints": (_roundtrip("documents", ["doc_id", "n_chars"],
                                      {"doc_id": "delta", "n_chars": "delta"}),
                           _identity_sql(["doc_id", "n_chars"])),
+        # float byte-stream-split codec: lossless bit-exact round-trip of
+        # IEEE doubles — identity oracle reads the same parquet values
+        "rt_float_lineitem": (
+            _roundtrip("lineitem",
+                       ["l_orderkey", "l_extendedprice", "l_discount"],
+                       {"l_extendedprice": "fbss", "l_discount": "fbss"}),
+            _identity_sql(["l_orderkey", "l_extendedprice", "l_discount"],
+                          table="lineitem")),
+        # post-encode fmap (zlib over the encoded block payload)
+        "rt_post_zlib": (_roundtrip("documents", ["doc_id", "text"],
+                                    {"text": "plain", "doc_id": "plain"},
+                                    posts={"text": "zlib"}),
+                         _identity_sql(["doc_id", "text"])),
         # stats & combinators
         "stats_sizecolumns": (q_stats_sizecolumns, SQL_STATS),
         "plan_combinators": (q_plan_combinators, SQL_COMBINATORS),
@@ -588,6 +617,7 @@ def _raw_registry() -> dict:
         "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
         "ann_topk": (q_ann_topk, SQL_ANN),
         "ann_lsh_topk": (q_ann_lsh_topk, None),        # approximate → rows-only
+        "ann_ivf_topk": (q_ann_ivf_topk, None),        # approximate → rows-only
         "embedding_neardup": (q_embedding_neardup, SQL_EMB_NEARDUP),
         "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),  # scale path
         "minhash_neardup": (q_minhash_neardup, None),  # rows-only

@@ -11,6 +11,13 @@ Two paths, per the training-pipeline requirements:
   the corpus-side join key is the band hash, so at 100 TB the self-join is
   bucket-local instead of a full cross join.
 
+* :func:`ivf_topk` — IVF (inverted-file) ANN: corpus vectors are assigned
+  to their nearest of k deterministic coarse centroids (one partitioned
+  pass; no trained model — centroids are seeded pseudo-random directions,
+  which is the classic "random coarse quantizer" baseline); a query probes
+  only its ``n_probe`` nearest cells and re-ranks exactly inside them.  The
+  other scale path: the corpus-side join key is the cell id.
+
 * :func:`cosine_near_dup_pairs` — embedding near-duplicate pairs above a
   cosine threshold.  Default is the LSH-banded scale path (candidates share
   >=1 random-hyperplane band; exact cosine verified on candidates only — no
@@ -22,6 +29,7 @@ Two paths, per the training-pipeline requirements:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 
 _DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double),"
         " (s, v) -> s + v)")
@@ -39,18 +47,29 @@ def _planes(dim: int, n_bits: int, seed: int = 0x51AE) -> np.ndarray:
 
 def with_lsh_signature(df, vec_col: str, dim: int, n_bits: int = 32,
                        sig_col: str = "lsh_sig", seed: int = 0x51AE):
-    """Add an n_bits-bit random-hyperplane signature column (JVM-side dot
-    products against literal plane vectors — no Python)."""
-    from pyspark.sql import functions as F
+    """Add an n_bits-bit random-hyperplane signature column.
 
-    planes = _planes(dim, n_bits, seed)
-    sig = None
-    for i in range(n_bits):
-        lit = "array(" + ",".join(f"cast({v:.17g} as double)" for v in planes[i]) + ")"
-        bit = F.when(F.expr(_DOT.format(a=_dbl(vec_col), b=lit)) > 0,
-                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else (sig.bitwiseOR(F.shiftleft(bit, i)))
-    return df.withColumn(sig_col, sig)
+    One Arrow-batched matmul per batch (``(n, dim) @ (dim, n_bits)`` then
+    sign-pack) — deterministic (seeded planes, no stored model).  An earlier
+    version built n_bits separate JVM ``aggregate(zip_with(...))``
+    expressions over literal plane arrays; the expression tree (n_bits x dim
+    literals) blew up codegen and planning time ~10x, so the vectorized UDF
+    is both the faster and the smaller plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    planes_t = _planes(dim, n_bits, seed).T.copy()          # (dim, n_bits)
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf(LongType())
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes_t) > 0                            # (n, n_bits)
+        return pd.Series((bits.astype(np.int64) * weights).sum(axis=1))
+
+    return df.withColumn(sig_col, sig_udf(F.col(vec_col)))
 
 
 def brute_force_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
@@ -107,6 +126,93 @@ def lsh_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
             .select("qid", F.col("cid").alias("nid"), "rank", "sim"))
 
 
+def _train_centroids(sample: np.ndarray, k: int, iters: int = 10,
+                     seed: int = 0x1BF) -> np.ndarray:
+    """Deterministic spherical k-means on a training sample (Lloyd
+    iterations, seeded init) — the IVF coarse quantizer.  Pure numpy, runs
+    on the driver over a bounded sample."""
+    rng = np.random.default_rng(seed)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    k = min(k, len(sample))
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    return cent
+
+
+def with_ivf_cell(df, vec_col: str, centroids: np.ndarray,
+                  n_probe: int = 1, cell_col: str = "cells"):
+    """Assign each vector its ``n_probe`` nearest coarse-centroid cell ids
+    (array<int>, nearest first) — one Arrow-batched matmul per batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cent_t = centroids.T.copy()                              # (dim, k)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        sims = (m / np.maximum(norms, 1e-30)) @ cent_t       # (n, k) cosine
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return df.withColumn(cell_col, cell_udf(F.col(vec_col)))
+
+
+def ivf_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
+             dim: int, k: int = 5, n_cells: int = 16, n_probe: int = 4,
+             train_n: int = 4096):
+    """IVF ANN top-k: a coarse quantizer (deterministic spherical k-means
+    over a bounded corpus sample) assigns each corpus vector its single
+    nearest cell; a query probes its ``n_probe`` nearest cells and re-ranks
+    exactly (JVM-side cosine) inside them.
+
+    100-TB shape: training reads a bounded deterministic sample (TopK by
+    id — Catalyst plans TakeOrderedAndProject, no full sort); the corpus is
+    partitioned by cell id once (in a real deployment: written
+    bucketed-by-cell), and a query touches ``n_probe/n_cells`` of the data —
+    the join is an equi-join on the cell id, never a cross join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sample_rows = (corpus_df.select(F.col(id_col).alias("_i"),
+                                    F.expr(_dbl(vec_col)).alias("_e"))
+                   .orderBy("_i").limit(train_n).collect())
+    sample = np.stack([np.asarray(r["_e"], dtype=np.float64)
+                       for r in sample_rows])
+    centroids = _train_centroids(sample, n_cells)
+
+    c = with_ivf_cell(
+        corpus_df.select(F.col(id_col).alias("nid"),
+                         F.expr(_dbl(vec_col)).alias("ce")),
+        "ce", centroids, n_probe=1)
+    c = c.select("nid", "ce", F.col("cells")[0].alias("cell"))
+    q = with_ivf_cell(
+        queries_df.select(F.col(id_col).alias("qid"),
+                          F.expr(_dbl(vec_col)).alias("qe")),
+        "qe", centroids, n_probe=n_probe)
+    q = q.select("qid", "qe", F.explode("cells").alias("cell"))
+    cand = c.join(F.broadcast(q), "cell")
+    dot = _DOT.format(a="qe", b="ce")
+    nq = _DOT.format(a="qe", b="qe")
+    nc = _DOT.format(a="ce", b="ce")
+    sim = F.expr(f"({dot}) / sqrt(({nq}) * ({nc}))")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (cand.withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "rank", "sim"))
+
+
 def cosine_near_dup_pairs(spark, df, vec_col: str, id_col: str,
                           threshold: float = 0.9, *, exact: bool = False,
                           dim: int | None = None, n_bits: int = 32,
@@ -129,34 +235,35 @@ def cosine_near_dup_pairs(spark, df, vec_col: str, id_col: str,
     from pyspark.sql import functions as F
 
     v = df.select(F.col(id_col).alias("id"), F.expr(_dbl(vec_col)).alias("e"))
-    if not exact:
+    v = v.withColumn("n2", F.expr(_DOT.format(a="e", b="e")))
+    va = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"),
+                  F.col("n2").alias("na"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"),
+                  F.col("n2").alias("nb"))
+
+    if exact:
+        pairs = va.crossJoin(vb).filter(F.col("id_a") < F.col("id_b"))
+    else:
         if dim is None:
             first = v.select(F.size("e")).first()
             dim = int(first[0]) if first else 0
-        v = with_lsh_signature(v, "e", dim or 1, n_bits)
-    v = v.withColumn("n2", F.expr(_DOT.format(a="e", b="e")))
-
-    if exact:
-        a = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"),
-                     F.col("n2").alias("na"))
-        b = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"),
-                     F.col("n2").alias("nb"))
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    else:
         rb = n_bits // bands
         mask = (1 << rb) - 1
+        sig = with_lsh_signature(v.select("id", "e"), "e", dim or 1, n_bits)
         bandcols = F.array(*[
             F.shiftright(F.col("lsh_sig"), i * rb).bitwiseAND(F.lit(mask))
             for i in range(bands)])
-        ex = v.select("id", "e", "n2",
-                      F.posexplode(bandcols).alias("band", "bh"))
-        a = ex.select(F.col("id").alias("id_a"), F.col("e").alias("ea"),
-                      F.col("n2").alias("na"), "band", "bh")
-        b = ex.select(F.col("id").alias("id_b"), F.col("e").alias("eb"),
-                      F.col("n2").alias("nb"), "band", "bh")
-        pairs = (a.join(b, ["band", "bh"])
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .dropDuplicates(["id_a", "id_b"]))
+        # bands carry IDS ONLY — exploding the vectors bands-times and
+        # shuffling them through the pair join would dominate; vectors
+        # re-join after the candidate ids are deduplicated
+        ex = sig.select("id", F.posexplode(bandcols).alias("band", "bh"))
+        a = ex.select(F.col("id").alias("id_a"), "band", "bh")
+        b = ex.select(F.col("id").alias("id_b"), "band", "bh")
+        cand = (a.join(b, ["band", "bh"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"]))
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
     dot = _DOT.format(a="ea", b="eb")
     sim = F.expr(f"({dot}) / sqrt(na * nb)")
     return (pairs.withColumn("cos_sim", sim)

@@ -186,26 +186,34 @@ def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
     from pyspark.sql import functions as F
 
     rows = n_hashes // bands
+    # cached: every downstream consumer (bucket sizes, both join sides, the
+    # estimate join) derives from the signatures — uncached, Spark recomputes
+    # the Python kernel once per consumer.  At 100 TB the equivalent is
+    # materializing signatures to storage once and joining from there.
     sigged = with_minhash(df.select(id_col, text_col), text_col,
-                          n_hashes=n_hashes, shingle=shingle)
+                          n_hashes=n_hashes, shingle=shingle) \
+        .select(id_col, "sig").cache()
     band_arr = F.array(*[
         F.hash(F.slice("sig", i * rows + 1, rows)).cast("long").alias(f"b{i}")
         for i in range(bands)])
-    exploded = (sigged.select(id_col, "sig",
-                              F.posexplode(band_arr).alias("band", "bh")))
+    # bands carry IDS ONLY: exploding the 64-long signature 16x and shuffling
+    # it through the pair join would dominate the query; signatures re-join
+    # AFTER the candidate set is deduplicated
+    exploded = sigged.select(id_col, F.posexplode(band_arr).alias("band", "bh"))
     # degenerate-bucket cap (scale guard)
     bucket_sizes = (exploded.groupBy("band", "bh")
                     .agg(F.count("*").alias("bn"))
                     .filter(F.col("bn").between(2, max_bucket)))
     pruned = exploded.join(bucket_sizes, ["band", "bh"], "left_semi")
-    a = pruned.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
-                      "band", "bh")
-    b = pruned.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
-                      "band", "bh")
-    pairs = (a.join(b, ["band", "bh"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sig_a", "sig_b")
-             .dropDuplicates(["id_a", "id_b"]))
+    a = pruned.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = pruned.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (a.join(b, ["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    sa = sigged.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigged.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = cand.join(sa, "id_a").join(sb, "id_b")
     est = F.expr(f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
                  f" / cast({n_hashes} as double)")
     return (pairs.withColumn("est_jaccard", est)

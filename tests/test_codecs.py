@@ -205,3 +205,36 @@ def test_delta_estimate_not_cached_across_chunks():
     _, payload2 = delta.encode(c2, compute_stats(c2, huge), ctx)
     assert e2 >= len(payload2) * 0.9
     assert e2 > e1 * 10
+
+
+def test_fbss_float32_and_compression():
+    """fbss round-trips float32 exactly and beats plain on low-entropy reals
+    (the byte-stream split exposes repetitive exponent/sign lanes)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from colonnade_spark.blocks import block_info, decode_block, encode_block
+
+    vals = (np.arange(8192, dtype=np.float32) * 0.25 + 100.0)
+    arr = pa.array(vals, type=pa.float32())
+    blk = encode_block(arr, codec="fbss")
+    out = decode_block(blk)
+    assert np.array_equal(np.asarray(out, dtype=np.float32), vals)
+    plain = encode_block(arr, codec="plain")
+    assert len(blk) < 0.6 * len(plain)
+    # auto picks fbss for this column
+    assert block_info(encode_block(arr))["codec"] == "fbss"
+
+
+def test_fbss_nan_payload_bits_preserved():
+    import numpy as np
+    import pyarrow as pa
+
+    from colonnade_spark.blocks import decode_block, encode_block
+
+    raw = np.array([0x7FF8000000000001, 0x7FF0000000000000,
+                    0xFFF8DEADBEEF0001] * 8, dtype=np.uint64).view(np.float64)
+    arr = pa.array(raw, type=pa.float64())
+    out = decode_block(encode_block(arr, codec="fbss"))
+    got = np.asarray(out, dtype=np.float64).view(np.uint64)
+    assert np.array_equal(got, raw.view(np.uint64))  # exact bit patterns

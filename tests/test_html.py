@@ -75,6 +75,16 @@ def test_html_capped_colspans_and_hide(spark, employees):
     assert 'style="display:none;">Sales</td>' in out2
 
 
+def test_html_definition_table(employees):
+    from colonnade_spark.html import html_definition_table
+
+    out = html_definition_table(employees.select("Name", "Age"))
+    assert "<th>Name</th>" in out and "<td>Thaddeus</td>" in out
+    assert "<th>Age</th>" in out and "<td>34</td>" in out
+    # transposed: one tr per column, not per row
+    assert out.count("<tr>") == 2
+
+
 def test_html_sectioned_group_dividers(spark):
     from colonnade_spark.html import html_sectioned
 

@@ -53,3 +53,61 @@ def test_project(spark):
     out = p.project(df)
     assert out.columns == ["name", "v2"]
     assert {r["v2"] for r in out.collect()} == {2, 4}
+
+
+def test_to_headed_reattaches_names():
+    """General mapHeadedness, headless→headed direction (Encode.hs:397-399):
+    manifest names re-attach to positional columns; codec/post preserved."""
+    p = (plan().headless_col("a + 1", codec="delta")
+         .headless_col("b").to_headless())
+    assert p.headless and p.column_names == ["_c0", "_c1"]
+    h = p.to_headed(["x", "y"])
+    assert not h.headless
+    assert h.column_names == ["x", "y"]
+    assert h.specs[0].expr == "a + 1" and h.specs[0].codec == "delta"
+
+
+def test_to_headed_aggregates_all_errors():
+    p = plan().headless_col("a").headless_col("b").headless_col("c")
+    with pytest.raises(ValueError) as ei:
+        p.to_headed(["x", "x"])
+    msg = str(ei.value)
+    # BOTH problems reported in one error (EitherWrap discipline)
+    assert "arity" in msg and "duplicate name: 'x'" in msg
+
+
+def test_resolve_positions_permuted_extra_and_errors():
+    """headedToIndexed at plan level (Siphon.hs:252-278): permuted order ok,
+    extras ignored, missing+duplicate aggregated — the plan-API extension of
+    test_resolve_stripe_permuted_extra."""
+    p = plan().headed("name").headed("age").headed("dept")
+    # permuted with an extra column (mirrors the reference's Test.hs:123-138
+    # expectation of indices 2,0,1)
+    assert p.resolve_positions(["age", "dept", "extra", "name"]) == {
+        "name": 3, "age": 0, "dept": 1}
+    with pytest.raises(ValueError) as ei:
+        p.resolve_positions(["age", "age", "extra"])
+    msg = str(ei.value)
+    assert "missing column: 'name'" in msg
+    assert "duplicate column: 'age'" in msg
+    assert "missing column: 'dept'" in msg
+
+
+def test_post_encode_combinator_roundtrip(spark):
+    """The post-encode fmap rides the plan through the full engine."""
+    import tempfile
+
+    from colonnade_spark import engine
+
+    df = spark.createDataFrame(
+        [(i, "body text " * 20) for i in range(300)], "k long, body string")
+    p = (plan().headed("k").headed("body", codec="plain")
+         .post_encode("body", "zlib").with_keys("k"))
+    assert p.specs[1].post == "zlib"
+    wh = tempfile.mkdtemp(prefix="post_enc_")
+    engine.encode_table(spark, df, p, wh, n_buckets=2, mode="overwrite",
+                        input_token="pz")
+    assert engine.verify_roundtrip(spark, df, p, wh)["ok"]
+    # the transform actually ran: lineage bytes_out far below plain bytes
+    lin = {r["column"]: r for r in engine.lineage_table(spark, wh).collect()}
+    assert lin["body"]["bytes_out"] < 0.2 * lin["body"]["bytes_in"]

@@ -88,6 +88,31 @@ def test_lsh_topk_recall_vs_brute_force(spark, emb):
             assert abs(sim_by_pair[key] - r["sim"]) < 1e-9
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    from colonnade_spark.simsearch import brute_force_topk, ivf_topk
+
+    q = emb.filter("vec_id < 10")
+    c = emb.filter("vec_id >= 10")
+    exact = brute_force_topk(spark, q, c, "embedding", "vec_id", k=5).collect()
+    approx = ivf_topk(spark, q, c, "embedding", "vec_id", dim=64, k=5,
+                      n_cells=16, n_probe=6).collect()
+    exact_set = {(r["qid"], r["nid"]) for r in exact}
+    approx_set = {(r["qid"], r["nid"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # approx similarities are true cosines (exact re-rank inside cells)
+    sim_by_pair = {(r["qid"], r["nid"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["nid"])
+        if key in sim_by_pair:
+            assert abs(sim_by_pair[key] - r["sim"]) < 1e-9
+    # plan shape: equi-join on the cell id, no cross join anywhere
+    plan = (ivf_topk(spark, q, c, "embedding", "vec_id", dim=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_cosine_near_dup_pairs(spark, emb):
     from colonnade_spark.simsearch import cosine_near_dup_pairs
 
