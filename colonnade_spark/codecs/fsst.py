@@ -41,6 +41,10 @@ MAX_LEN = 8
 SEG = 512
 SAMPLE_BYTES = 1 << 15
 BUILD_ITERS = 5
+#: cursors per greedy wave — refilled as segments finish.  Big enough to
+#: amortize ~15 numpy kernel dispatches per wave, small enough that the
+#: active byte range (~target x SEG ≈ 2 MiB) stays cache-resident.
+_WAVE_TARGET = 4096
 
 
 _M64 = (1 << 64) - 1
@@ -126,9 +130,17 @@ def _greedy_encode(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
     The greedy scan is sequential *within* a segment but independent across
     segments, so each wave advances every active segment cursor by one unit:
     gather 8 bytes at each cursor, look up 1-byte / 2-byte / hashed symbols,
-    pick the longest, step.  <=SEG waves total; per-wave arrays are
-    cursor-count-sized (cache-resident), so total memory traffic is
-    O(#units), not O(#positions × passes).
+    pick the longest, step.
+
+    Wave scheduling is REFILLED: finished cursors are replaced with the next
+    unstarted segments, so every wave runs near _WAVE_TARGET cursors.  This
+    fixes two things at once: (a) numpy dispatch overhead per wave (~15
+    kernel launches) amortizes over thousands of cursors instead of a dying
+    tail — the fixed-window version spent most waves nearly empty; (b) cache
+    locality — segments activate in byte order and die in rough byte order,
+    so the active gather range is a sliding window of
+    ~_WAVE_TARGET x SEG ≈ 2 MiB (the cache-blocking that lets 32 parallel
+    executor workers share DRAM).
 
     Returns (unit positions ascending, unit codes; ESCAPE where literal).
     """
@@ -146,48 +158,46 @@ def _greedy_encode(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
     pad = np.zeros(n_pad, dtype=np.uint8)
     pad[:n] = data
     words = pad.view("<u8")
-    # Cache-blocked execution: segments are contiguous byte ranges in order,
-    # so process them in ~1 MiB windows — every gather in a window's wave
-    # loop then hits L2/L3 instead of DRAM.  This is what lets 32 parallel
-    # executor workers scale: the unblocked version streamed the full buffer
-    # once per wave and saturated shared memory bandwidth at ~3 cores.
-    window_bytes = 1 << 20
     c64 = np.uint64
-    w_start = 0
     n_segs = seg_s.size
-    while w_start < n_segs:
-        w_end = int(np.searchsorted(seg_e, seg_s[w_start] + window_bytes,
-                                    side="left")) + 1
-        w_end = min(max(w_end, w_start + 1), n_segs)
-        cur = seg_s[w_start:w_end].astype(np.int32)
-        end = seg_e[w_start:w_end].astype(np.int32)
-        w_start = w_end
+    target = _WAVE_TARGET
+    seg_ptr = 0
+    cur = np.zeros(0, dtype=np.int64)
+    end = cur
+    while cur.size or seg_ptr < n_segs:
+        if cur.size < target // 2 and seg_ptr < n_segs:
+            take = min(target - cur.size, n_segs - seg_ptr)
+            cur = np.concatenate((cur, seg_s[seg_ptr: seg_ptr + take]))
+            end = np.concatenate((end, seg_e[seg_ptr: seg_ptr + take]))
+            seg_ptr += take
+            keep = cur < end
+            cur, end = cur[keep], end[keep]
+            if cur.size == 0:
+                continue
+        sh = ((cur & 7) << 3).view(c64)
+        widx = cur >> 3
+        key8 = (words[widx] >> sh) \
+            | ((words[widx + 1] << (c64(63) - sh)) << c64(1))
+        rem = end - cur
+        # 1-byte (default len 1; ESCAPE when no symbol)
+        c1 = table._t1[(key8 & c64(0xFF)).astype(np.uint8)]
+        # 2-byte
+        c2 = table._t2[(key8 & c64(0xFFFF)).astype(np.uint32)]
+        ok2 = (c2 != ESCAPE) & (rem >= 2)
+        # 3..8-byte via prefix hash: one structured gather per wave
+        h = ((key8 & c64(0xFFFFFF)).astype(np.uint32)
+             * np.uint32(_HASH_MULT32)) >> np.uint32(32 - _HASH_BITS)
+        s = table._slot[h]
+        ll = s["len"]
+        ok3 = (ll > 0) & ((key8 & s["mask"]) == s["key"]) & (rem >= ll)
+        length = np.where(ok3, ll.astype(np.int64),
+                          np.where(ok2, 2, 1))
+        c = np.where(ok3, s["code"], np.where(ok2, c2, c1))
+        taken[cur] = True
+        code_at[cur] = c
+        cur = cur + length
         alive = cur < end
         cur, end = cur[alive], end[alive]
-        while cur.size:
-            lo = words[cur >> 3] >> ((cur & 7) << 3).astype(np.uint64)
-            hi = (words[(cur >> 3) + 1]
-                  << (c64(63) - ((cur & 7) << 3).astype(np.uint64))) << c64(1)
-            key8 = lo | hi
-            rem = end - cur
-            # 1-byte (default len 1; ESCAPE when no symbol)
-            c1 = table._t1[(key8 & c64(0xFF)).astype(np.uint8)]
-            # 2-byte
-            c2 = table._t2[(key8 & c64(0xFFFF)).astype(np.uint32)]
-            ok2 = (c2 != ESCAPE) & (rem >= 2)
-            # 3..8-byte via prefix hash: one structured gather per wave
-            h = ((key8 & c64(0xFFFFFF)).astype(np.uint32)
-                 * np.uint32(_HASH_MULT32)) >> np.uint32(32 - _HASH_BITS)
-            s = table._slot[h]
-            ll = s["len"]
-            ok3 = (ll > 0) & ((key8 & s["mask"]) == s["key"]) & (rem >= ll)
-            length = np.where(ok3, ll, np.where(ok2, 2, 1)).astype(np.int32)
-            c = np.where(ok3, s["code"], np.where(ok2, c2, c1))
-            taken[cur] = True
-            code_at[cur] = c
-            cur = cur + length
-            alive = cur < end
-            cur, end = cur[alive], end[alive]
     units = np.flatnonzero(taken)
     return units, code_at
 
