@@ -508,6 +508,81 @@ def q_minhash_neardup(spark, sf_dir):
                                   threshold=0.5)
 
 
+def q_events_window(spark, sf_dir):
+    """Event-time tumbling-window aggregation over the events table —
+    the batch form of the streaming windowed-agg shape (same F.window
+    operator Structured Streaming uses; late data handled by watermark
+    there, by completeness here).  Value sums as exact integer milli-units
+    for oracle parity."""
+    from pyspark.sql import functions as F
+
+    ev = _read(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (ev.groupBy(win, "event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+                 .cast("bigint").alias("value_milli"),
+                 F.countDistinct("user_id").cast("bigint").alias("n_users"))
+            .select(F.date_format(F.col("window.start"),
+                                  "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                    "event_type", "n_events", "value_milli", "n_users"))
+
+
+SQL_EVENTS_WINDOW = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_tpch_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped join pipeline: customer (filtered segment) ⋈ orders
+    ⋈ lineitem.  The dimension side is explicitly broadcast — at 100 TB the
+    fact-side lineitem never shuffles for this join; Catalyst plans a
+    BroadcastHashJoin (asserted in tests/test_plan_audit via explain)."""
+    from pyspark.sql import functions as F
+
+    cust = (_read(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_read(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (_read(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    rev = price * (F.lit(1).cast("decimal(12,2)") - disc)
+    j = (li.join(F.broadcast(orders.join(F.broadcast(cust),
+                                         orders.o_custkey == cust.c_custkey)),
+                 li.l_orderkey == F.col("o_orderkey")))
+    return (j.groupBy("l_orderkey", "o_orderdate")
+            .agg((F.sum(rev) * 10000).cast("bigint").alias("revenue_c4"))
+            .select(F.col("l_orderkey").cast("bigint"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+                    "revenue_c4"))
+
+
+SQL_TPCH_Q3 = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            * 10000 AS BIGINT) AS revenue_c4
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+"""
+
+
 def q_tpch_pricing(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary — the relational shell is stock
     Catalyst (SURVEY.md §2.7: joins/aggs are Spark built-ins, not ours).
@@ -624,6 +699,8 @@ def _raw_registry() -> dict:
         "simhash_neardup": (q_simhash_neardup, None),  # rows-only
         "multimodal_meta": (q_multimodal_meta, SQL_MM_META),
         "multimodal_features": (q_multimodal_features, None),  # stub decode
-        # relational shell
+        # relational shell + event-time window
+        "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+        "tpch_shipping_priority": (q_tpch_shipping_priority, SQL_TPCH_Q3),
         "tpch_pricing": (q_tpch_pricing, SQL_TPCH),
     }

@@ -1,0 +1,96 @@
+"""Structured Streaming ingestion into the blocks warehouse.
+
+The reference's streaming surface is incremental pull-based chunk encode
+with resumable parser state (`encodeCsvStream`,
+/root/reference/siphon/src/Siphon.hs:122-137; continuation-resume
+Siphon.hs:612-616).  The Spark-native generalization is file-source
+``readStream`` → ``foreachBatch`` → one *resumable encode job per
+micro-batch*:
+
+* each micro-batch encodes into its own sub-warehouse
+  (``<warehouse>/batch=<id>``) through the full engine (salted staging,
+  per-bucket checkpoint markers, lineage);
+* Structured Streaming's checkpoint gives exactly-once batch ids — a
+  crashed run replays only unfinished batches, and byte-determinism makes
+  the replay idempotent (the engine-level analog of the reference's parser
+  continuations);
+* the decode side unions every batch's blocks — a reader never needs
+  cross-batch state (blocks are row-aligned and self-describing).
+
+This is ingestion micro-batching, not event-time analytics; the windowed /
+watermark aggregation shape lives in ``queries.q_events_window`` (the same
+``F.window`` operator Structured Streaming plans incrementally).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from . import engine
+from .plan import EncodePlan
+
+
+def stream_encode(spark, input_path: str, warehouse: str, plan: EncodePlan,
+                  *, checkpoint_dir: str | None = None, n_buckets: int = 4,
+                  stripe_bytes: int = 4 << 20, max_files_per_trigger: int = 1,
+                  await_termination: bool = True):
+    """Ingest a growing directory of parquet files into the warehouse.
+
+    Runs with ``availableNow`` semantics: processes everything currently
+    available (in ``max_files_per_trigger``-file micro-batches) and stops.
+    Re-invoking later picks up only NEW files (the streaming checkpoint
+    remembers processed ones) — incremental ingestion with engine-level
+    resume inside each batch.
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(warehouse, "_stream_ckpt")
+    os.makedirs(warehouse, exist_ok=True)
+    schema = spark.read.parquet(input_path).schema
+
+    def handle_batch(df, batch_id: int) -> None:
+        sub = os.path.join(warehouse, f"batch={batch_id}")
+        engine.encode_table(spark, df, plan, sub, n_buckets=n_buckets,
+                            stripe_bytes=stripe_bytes, mode="resume",
+                            input_token=f"stream_batch_{batch_id}")
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", str(max_files_per_trigger))
+         .parquet(input_path)
+         .writeStream.foreachBatch(handle_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def batch_warehouses(warehouse: str) -> list:
+    return sorted(glob.glob(os.path.join(warehouse, "batch=*")),
+                  key=lambda p: int(p.rsplit("=", 1)[1]))
+
+
+def stream_decode(spark, warehouse: str):
+    """Union-decode every ingested batch's blocks (schemas identical: one
+    plan governs the stream)."""
+    out = None
+    for sub in batch_warehouses(warehouse):
+        d = engine.decode_table(spark, sub)
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        raise FileNotFoundError(f"no ingested batches under {warehouse}")
+    return out
+
+
+def stream_manifest(warehouse: str) -> dict:
+    """Merged manifest over all ingested batches (corpus totals)."""
+    subs = batch_warehouses(warehouse)
+    manifests = [engine.read_manifest(s) for s in subs]
+    return {
+        "batches": len(manifests),
+        "rows": sum(m["rows"] for m in manifests),
+        "bytes_in": sum(m["bytes_in"] for m in manifests),
+        "bytes_out": sum(m["bytes_out"] for m in manifests),
+        "plan_hash": manifests[-1]["plan_hash"] if manifests else None,
+    }
