@@ -108,18 +108,27 @@ class SymbolTable:
         return out
 
 
-def _segment_bounds(offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Split strings into <=SEG-byte segments; returns (starts, ends)."""
+def _seg_for(nbytes: int) -> int:
+    """Adaptive segment size: small inputs (table-build samples, probe
+    encodes) get short segments so the wave loop runs many full waves
+    instead of up to SEG near-empty ones (numpy dispatch, not data, is the
+    cost there).  Pure function of input size — deterministic."""
+    return SEG if nbytes > (1 << 16) else 64
+
+
+def _segment_bounds(offsets: np.ndarray, seg: int = SEG
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Split strings into <=seg-byte segments; returns (starts, ends)."""
     lens = np.diff(offsets)
-    n_chunks = (lens + SEG - 1) // SEG
+    n_chunks = (lens + seg - 1) // seg
     total = int(n_chunks.sum())
     if total == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     grp_start = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
     base = np.repeat(offsets[:-1], n_chunks)
     within = np.arange(total, dtype=np.int64) - np.repeat(grp_start, n_chunks)
-    starts = base + within * SEG
-    ends = np.minimum(starts + SEG, np.repeat(offsets[1:], n_chunks))
+    starts = base + within * seg
+    ends = np.minimum(starts + seg, np.repeat(offsets[1:], n_chunks))
     return starts, ends
 
 
@@ -149,7 +158,7 @@ def _greedy_encode(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
     code_at = np.zeros(n, dtype=np.uint8)
     if n == 0:
         return np.zeros(0, dtype=np.int64), code_at
-    seg_s, seg_e = _segment_bounds(offsets)
+    seg_s, seg_e = _segment_bounds(offsets, _seg_for(n))
     # zero-padded buffer, length a multiple of 8 → aligned native-u64 view;
     # the unaligned little-endian 8-byte key at byte p is
     #   (W[p>>3] >> 8*(p&7)) | (W[(p>>3)+1] << 64-8*(p&7))
@@ -310,7 +319,9 @@ def build_symbol_table(data: np.ndarray, offsets: np.ndarray) -> SymbolTable:
     """Bottom-up table construction on a stratified sample of the chunk."""
     data, offsets = stratified_sample(data, offsets)
     table = SymbolTable([]).finalize()
-    seg_s, _seg_e = _segment_bounds(offsets)
+    # must match the seg _greedy_encode picks for this (sampled) data size,
+    # or the adjacent-unit pairing below would cross segment boundaries
+    seg_s, _seg_e = _segment_bounds(offsets, _seg_for(data.size))
     for _ in range(BUILD_ITERS):
         units, code_at = _greedy_encode(data, offsets, table)
         if units.size == 0:
@@ -363,7 +374,14 @@ class FsstCodec(Codec):
         """Reuse the cached symbol table across chunks, but probe it first:
         encode a tiny (8 KB) stratified sample and rebuild if the ratio
         drifted >25% from build time (content distribution changed — e.g.
-        the stripe crossed into a different language's files)."""
+        the stripe crossed into a different language's files).
+
+        Memoized per chunk: estimate() and encode() both land here for the
+        same chunk — the second call must not pay a second probe."""
+        chunk_key = (id(col.data), col.n)
+        memo = ctx.extras.get("fsst_chunk")
+        if memo is not None and memo[0] == chunk_key:
+            return memo[1]
         probe, poff = stratified_sample(col.data, col.offsets, budget=8192)
 
         def ratio_of(table):
@@ -375,6 +393,7 @@ class FsstCodec(Codec):
         if ctx.fsst_table is not None:
             r = ratio_of(ctx.fsst_table)
             if r <= ctx.extras.get("fsst_probe_ratio", 1.0) * 1.25 + 0.02:
+                ctx.extras["fsst_chunk"] = (chunk_key, ctx.fsst_table)
                 return ctx.fsst_table
         ctx.fsst_table = build_symbol_table(col.data, col.offsets)
         ctx.extras["fsst_probe_ratio"] = ratio_of(ctx.fsst_table)
@@ -384,11 +403,17 @@ class FsstCodec(Codec):
         else:
             stream, _ = _encode_stream(sample, soff, ctx.fsst_table)
             ctx.extras["fsst_ratio"] = stream.size / int(soff[-1])
+        ctx.extras["fsst_chunk"] = (chunk_key, ctx.fsst_table)
         return ctx.fsst_table
 
     def estimate(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> int:
         if stats.total_bytes < 1024:  # table overhead dominates; never select
             return stats.total_bytes + 4 * (col.n + 1) + 4096
+        # low-cardinality chunk: dict/RLE will beat any byte-level coder —
+        # skip the symbol-table build entirely and price FSST out (pure
+        # function of chunk stats, so selection stays deterministic)
+        if stats.dict_codes is not None and stats.n_unique * 20 < col.n:
+            return stats.total_bytes + 4096
         table = self._table(col, ctx)
         table_bytes = 2 + len(table.symbols) + sum(len(s) for s in table.symbols)
         cw_bytes = (col.n * 24 + 7) // 8  # pessimistic count width

@@ -216,11 +216,21 @@ SQL_TOKENS = (f"SELECT doc_id, CAST({_TOKEN_SQL} AS BIGINT) AS n_tokens "
               "FROM documents")
 
 
+_STOPWORDS = ["the", "and", "of", "to", "in"]
+_STOP_RE_SPARK = "(^| )(" + "|".join(_STOPWORDS) + ")( |$)"
+_PUNCT_RE = "[.,;:!?]"
+
+
 def q_doc_quality(spark, sf_dir):
-    """Quality scoring: integer-valued text metrics."""
+    """Quality scoring: integer-valued text metrics — length, whitespace,
+    digit and punctuation counts, whitespace-token count, and stopword hits
+    (the length/punct/stopword-ratio family; ratios stay integer-valued as
+    numerator/denominator pairs for oracle parity)."""
     from pyspark.sql import functions as F
 
     df = _read(spark, sf_dir, "documents")
+    # non-overlapping "( |^)stop( |$)" matches undercount adjacent stopword
+    # pairs identically in both engines (same leftmost-non-overlap rule)
     return df.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_m"),
@@ -228,6 +238,10 @@ def q_doc_quality(spark, sf_dir):
         .cast("bigint").alias("n_spaces"),
         (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
         .cast("bigint").alias("n_digits"),
+        (F.length("text") - F.length(F.regexp_replace("text", _PUNCT_RE, "")))
+        .cast("bigint").alias("n_punct"),
+        F.expr(f"size(regexp_extract_all(lower(text), '{_STOP_RE_SPARK}', 0))")
+        .cast("bigint").alias("n_stopword_hits"),
         F.expr(_TOKEN_EXPR).cast("bigint").alias("n_tokens"),
     )
 
@@ -237,6 +251,8 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_m,
        CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+       CAST(length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_extract_all(lower(text), '{_STOP_RE_SPARK}')) AS BIGINT) AS n_stopword_hits,
        CAST({_TOKEN_SQL} AS BIGINT) AS n_tokens
 FROM documents
 """
@@ -260,6 +276,51 @@ def q_lang_id_ngram(spark, sf_dir):
 
 
 SQL_LANG_ID = f"SELECT doc_id, lang, {_LANG_ID_CASE} AS lang_guess FROM documents"
+
+
+# same regex value both sides; Spark SQL string literals unescape
+# backslashes (like _TOKEN_EXPR above), DuckDB's do not
+_BPE_RE_SPARK = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+_BPE_RE_DUCK = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish regex token counting (letters-runs | digit-runs | single
+    punctuation — the pre-tokenizer shape of byte-pair encoders), alongside
+    the whitespace count.  Character classes only — portable between Java
+    regex and DuckDB RE2."""
+    from pyspark.sql import functions as F
+
+    return (_read(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.expr(f"size(regexp_extract_all(text, '{_BPE_RE_SPARK}', 0))")
+                    .cast("bigint").alias("n_bpe_tokens"),
+                    F.expr(_TOKEN_EXPR).cast("bigint").alias("n_ws_tokens")))
+
+
+SQL_TOKENS_BPE = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_BPE_RE_DUCK}')) AS BIGINT) AS n_bpe_tokens,
+       CAST({_TOKEN_SQL} AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing fingerprints (rolling-hash document fingerprinting,
+    SIGMOD'03): bounded, hashable output — fingerprint count plus an
+    order-insensitive xor digest of the fingerprint set (rows-only: the
+    rolling hash isn't SQL-expressible)."""
+    from pyspark.sql import functions as F
+
+    from .textops import with_winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = with_winnow_fingerprints(docs, "text")
+    agg = F.expr("aggregate(fps, cast(0 as bigint), (a, x) -> a ^ x)")
+    return fp.select(F.col("doc_id").cast("bigint"),
+                     F.size("fps").cast("bigint").alias("n_fps"),
+                     agg.alias("fp_xor"))
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -687,9 +748,11 @@ def _raw_registry() -> dict:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP),
         "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP),
         "token_count": (q_token_count, SQL_TOKENS),
+        "token_count_bpe": (q_token_count_bpe, SQL_TOKENS_BPE),
         "doc_quality": (q_doc_quality, SQL_QUALITY),
         "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
+        "doc_winnow": (q_doc_winnow, None),            # rolling hash → rows-only
         "ann_topk": (q_ann_topk, SQL_ANN),
         "ann_lsh_topk": (q_ann_lsh_topk, None),        # approximate → rows-only
         "ann_ivf_topk": (q_ann_ivf_topk, None),        # approximate → rows-only

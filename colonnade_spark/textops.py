@@ -340,6 +340,44 @@ def simhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
 
 
 # --------------------------------------------------------------------------
+# winnowing fingerprints (rolling hash)
+# --------------------------------------------------------------------------
+
+def winnow_batch(texts, shingle: int = 5, window: int = 8) -> list:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 "Winnowing: Local Algorithms for Document Fingerprinting"):
+    rolling shingle hashes, keep the minimum of every ``window`` consecutive
+    hashes, dedup — a position-robust fingerprint set whose size scales with
+    document length / window.
+
+    Vectorized: the rolling hashes come from the shared concatenated-buffer
+    kernel; the per-window minimum is a strided-view ``min(axis=1)``."""
+    keys, starts, counts = _shingle_keys(texts, shingle)
+    out = []
+    for i in range(len(texts)):
+        k = keys[starts[i]: starts[i] + counts[i]]
+        if k.size <= window:
+            picks = np.array([k.min()]) if k.size else np.zeros(0, np.uint64)
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(k, window)
+            picks = np.unique(sw.min(axis=1))
+        out.append(((picks >> np.uint64(1)).astype(np.int64)).tolist())
+    return out
+
+
+def with_winnow_fingerprints(df, text_col: str, fp_col: str = "fps",
+                             shingle: int = 5, window: int = 8):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def fp_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(winnow_batch(s.tolist(), shingle, window))
+
+    return _spread(df).withColumn(fp_col, fp_udf(F.col(text_col)))
+
+
+# --------------------------------------------------------------------------
 # exact n-gram Jaccard (verification of MinHash estimates)
 # --------------------------------------------------------------------------
 

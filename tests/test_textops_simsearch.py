@@ -234,3 +234,24 @@ def test_multimodal_real_mode_is_explicit_stub(spark, docs):
     binned = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
     with pytest.raises(NotImplementedError):
         extract_features(binned, "doc_id", "payload", modality="real")
+
+
+def test_winnow_fingerprints_properties():
+    """Winnowing (SIGMOD'03): identical docs → identical fingerprint sets;
+    a local edit changes only a bounded neighborhood of fingerprints."""
+    from colonnade_spark.textops import winnow_batch
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "bravo", "code", "delta", "eagle", "frame", "gamma",
+             "hash", "index", "joule", "kilo", "lambda"]
+    base = " ".join(rng.choice(words, size=200))    # varied, non-repeating
+    edited = base[:300] + "X" + base[301:]          # one-char substitution
+    a, b, a2 = winnow_batch([base, edited, base])
+    assert a == a2                                   # deterministic
+    sa, sb = set(a), set(b)
+    assert len(sa) > 10
+    overlap = len(sa & sb) / len(sa | sb)
+    assert overlap > 0.7, overlap                    # local edit ≈ local change
+    # short docs still fingerprint (single minimum)
+    (tiny,) = winnow_batch(["ab"])
+    assert len(tiny) == 1
