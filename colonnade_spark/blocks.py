@@ -30,8 +30,12 @@ from .codecs import BY_ID, BY_NAME, EncodeContext, compute_stats, from_arrow, to
 MAGIC = b"CSPB"
 VERSION = 1
 
-#: selection candidates in deterministic tie-break order (lower wins ties)
-_CANDIDATE_ORDER = ("plain", "forbp", "delta", "dict", "rle", "fsst", "fbss")
+#: selection candidates in deterministic tie-break order (lower wins ties).
+#: deliberately all LIGHTWEIGHT codecs (north rule: dict/RLE/FSST/bit-pack/
+#: FOR family) — general-purpose DEFLATE is available as the post-encode
+#: fmap (encode_block(post="zlib")), not as a selection candidate.
+_CANDIDATE_ORDER = ("plain", "forbp", "delta", "dict", "rle", "alpha4",
+                    "fsst", "fbss")
 
 
 class BlockError(ValueError):

@@ -8,6 +8,7 @@ from __future__ import annotations
 from .base import (KIND_BOOL, KIND_FLOAT, KIND_INT, KIND_STR, Codec,
                    ColumnData, ColumnStats, EncodeContext, compute_stats,
                    from_arrow, to_arrow)
+from .alphapack import AlphaPackCodec
 from .delta import DeltaCodec
 from .dictionary import DictCodec
 from .floatbss import FloatBssCodec
@@ -17,7 +18,7 @@ from .plain import PlainCodec
 from .rle import RleCodec
 
 _ALL = [PlainCodec(), DictCodec(), RleCodec(), ForBitpackCodec(),
-        DeltaCodec(), FsstCodec(), FloatBssCodec()]
+        DeltaCodec(), FsstCodec(), FloatBssCodec(), AlphaPackCodec()]
 
 BY_NAME: dict[str, Codec] = {c.name: c for c in _ALL}
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in _ALL}

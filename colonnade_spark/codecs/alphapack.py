@@ -1,0 +1,96 @@
+"""Small-alphabet string codec: map bytes through a <=16-symbol alphabet and
+bit-pack at 1/2/4 bits per character, with bit-packed per-string lengths.
+
+The killer column in training pipelines is the content HASH (md5/sha hex —
+16 distinct byte values): plain stores 32 bytes + a 4-byte offset per row;
+alpha-pack stores 16 bytes + ~6 BITS of length per row (~0.47 of plain), and
+both directions are single-gather numpy (orders of magnitude faster than a
+symbol-table coder on such columns).  Also covers digit columns, base64-ish
+ids, DNA-alphabet text.
+
+Reference parity: the reference's cells include fixed-alphabet content
+(hex-ish ids, bools as "1"/"0" — geolite-csv/src/Geolite/Csv.hs:49-50); this
+is its specialized-codec analog under the north rule's bit-packing family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import KIND_STR, Codec, ColumnData, ColumnStats, EncodeContext
+from .bitpack_util import pack_uints, unpack_uints, width_for
+
+_MAX_ALPHA = 16
+
+
+def _alphabet(data: np.ndarray) -> np.ndarray | None:
+    """Sorted distinct byte values, or None if > _MAX_ALPHA (one bincount)."""
+    if data.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+    counts = np.bincount(data, minlength=256)
+    uniq = np.flatnonzero(counts)
+    if uniq.size > _MAX_ALPHA:
+        return None
+    return uniq.astype(np.uint8)
+
+
+class AlphaPackCodec(Codec):
+    name = "alpha4"
+    codec_id = 7
+
+    def applicable(self, col: ColumnData, stats: ColumnStats) -> bool:
+        return col.kind == KIND_STR and col.n > 0 and stats.total_bytes >= 64
+
+    def _plan(self, col: ColumnData, ctx: EncodeContext):
+        key = ("alpha4", id(col.data), col.n)
+        memo = ctx.extras.get("alpha4_plan")
+        if memo is not None and memo[0] == key:
+            return memo[1]
+        alpha = _alphabet(col.data)
+        if alpha is None or alpha.size == 0:
+            plan = None
+        else:
+            w = max(width_for(alpha.size - 1), 1)
+            lens = np.diff(col.offsets)
+            lw = width_for(int(lens.max())) if col.n else 0
+            plan = (alpha, w, lens, lw)
+        ctx.extras["alpha4_plan"] = (key, plan)
+        return plan
+
+    def estimate(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> int:
+        plan = self._plan(col, ctx)
+        if plan is None:
+            return stats.total_bytes * 4 + (1 << 20)  # priced out
+        alpha, w, lens, lw = plan
+        return (4 + alpha.size + (col.data.size * w + 7) // 8
+                + (col.n * lw + 7) // 8)
+
+    def encode(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> tuple[dict, bytes]:
+        plan = self._plan(col, ctx)
+        if plan is None:
+            raise ValueError("alpha4 not applicable: alphabet too large")
+        alpha, w, lens, lw = plan
+        lut = np.zeros(256, dtype=np.uint8)
+        lut[alpha] = np.arange(alpha.size, dtype=np.uint8)
+        codes = lut[col.data]
+        parts = [bytes([alpha.size, w, lw]), alpha.tobytes(),
+                 pack_uints(lens.astype(np.uint64), lw),
+                 pack_uints(codes.astype(np.uint64), w)]
+        return {}, b"".join(parts)
+
+    def decode(self, payload: memoryview, params: dict, n: int, kind: str,
+               arrow_type: str) -> ColumnData:
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        n_alpha, w, lw = int(buf[0]), int(buf[1]), int(buf[2])
+        p = 3
+        alpha = buf[p: p + n_alpha].copy()
+        p += n_alpha
+        len_bytes = (n * lw + 7) // 8
+        lens = unpack_uints(buf[p: p + len_bytes], n, lw).astype(np.int64)
+        p += len_bytes
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        total = int(offsets[-1])
+        codes = unpack_uints(buf[p:], total, w).astype(np.uint8)
+        data = alpha[codes] if total else np.zeros(0, dtype=np.uint8)
+        return ColumnData(kind, n, arrow_type, data=data, offsets=offsets)

@@ -329,10 +329,19 @@ def read_manifest(warehouse: str) -> dict:
         return json.load(f)
 
 
-def decode_table(spark, warehouse: str):
-    """Blocks → rows. One applyInArrow group per (bucket, stripe): decode
-    each column block, reassemble the row batch (the ``uncheckedRun`` analog,
+def decode_table(spark, warehouse: str, *, shuffle: bool = False):
+    """Blocks → rows (the ``uncheckedRun`` analog,
     /root/reference/siphon/src/Siphon.hs:718-749, per-block not per-row).
+
+    Default path is SHUFFLE-FREE: the encoder writes each bucket's block
+    rows stripe-contiguously (all of a stripe's column blocks adjacent), so
+    a stateful ``mapInArrow`` reassembles stripes as they stream past —
+    partial stripes at arrow-batch boundaries are buffered inside the
+    iterator (the engine-level analog of the reference's cross-chunk parser
+    continuations, Siphon.hs:612-616), and decode parallelism is the scan's
+    (one task per bucket file; stripes never span files).  ``shuffle=True``
+    keeps the groupBy(bucket, stripe) + applyInArrow fallback, which makes
+    no layout assumption.
 
     Arrow end-to-end: the earlier applyInPandas path corrupted nullable
     int64 via the pandas float64 conversion (values above 2^53); arrow
@@ -348,20 +357,45 @@ def decode_table(spark, warehouse: str):
 
     blocks_df = spark.read.parquet(os.path.join(warehouse, "blocks"))
 
-    def reassemble(table: pa.Table) -> pa.Table:
-        names = table.column("column").to_pylist()
-        blocks = table.column("block")
+    def assemble_one(names, blobs):
         arrays = {}
-        for i, name in enumerate(names):
-            arrays[name] = B.decode_block(blocks[i].as_py())
+        for name, blob in zip(names, blobs):
+            arrays[name] = B.decode_block(blob)
         missing = [c for c in cols if c not in arrays]
         if missing:
             raise B.BlockError(f"stripe missing column blocks: {missing}")
         return pa.table(
             {c: arrays[c].cast(arrow_schema.field(c).type) for c in cols})
 
-    return (blocks_df.groupBy("bucket", "stripe")
-            .applyInArrow(reassemble, schema=out_schema))
+    if shuffle:
+        def reassemble(table: pa.Table) -> pa.Table:
+            return assemble_one(table.column("column").to_pylist(),
+                                [b.as_py() for b in table.column("block")])
+
+        return (blocks_df.groupBy("bucket", "stripe")
+                .applyInArrow(reassemble, schema=out_schema))
+
+    def stream_stripes(batches):
+        pend_key, pend_names, pend_blobs = None, [], []
+        for batch in batches:
+            buckets = batch.column("bucket").to_pylist()
+            stripes = batch.column("stripe").to_pylist()
+            names = batch.column("column").to_pylist()
+            blobs = batch.column("block")
+            for i in range(batch.num_rows):
+                key = (buckets[i], stripes[i])
+                if key != pend_key:
+                    if pend_names:
+                        yield from assemble_one(pend_names, pend_blobs) \
+                            .to_batches()
+                    pend_key, pend_names, pend_blobs = key, [], []
+                pend_names.append(names[i])
+                pend_blobs.append(blobs[i].as_py())
+        if pend_names:
+            yield from assemble_one(pend_names, pend_blobs).to_batches()
+
+    return blocks_df.select("bucket", "stripe", "column", "block") \
+        .mapInArrow(stream_stripes, out_schema)
 
 
 # --------------------------------------------------------------------------

@@ -57,6 +57,30 @@ def _identity_sql(cols: list, table: str = "documents") -> str:
 # individual queries
 # --------------------------------------------------------------------------
 
+def q_rt_alpha_hex(spark, sf_dir):
+    """Round-trip a derived md5-hex column through the alpha4 small-alphabet
+    codec (the hash-column specialist: 16-symbol nibble pack + bit-packed
+    lengths ≈ 0.47 of plain at numpy-gather speed)."""
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    df = (_read(spark, sf_dir, "documents")
+          .select("doc_id", F.md5("text").alias("h")))
+
+    def rt(batches):
+        import pyarrow as pa
+
+        from colonnade_spark import blocks as B
+        for batch in batches:
+            codecs = {"h": "alpha4", "doc_id": "auto"}
+            arrs = [B.decode_block(B.encode_block(batch.column(i),
+                                                  codec=codecs[nm]))
+                    for i, nm in enumerate(batch.schema.names)]
+            yield pa.RecordBatch.from_arrays(arrs, names=batch.schema.names)
+
+    return df.mapInArrow(rt, df.schema)
+
+
 def q_stats_sizecolumns(spark, sf_dir):
     """The sizeColumns stats pass (Encode.hs:177-186) as a Spark agg."""
     from pyspark.sql import functions as F
@@ -737,6 +761,9 @@ def _raw_registry() -> dict:
                                     {"text": "plain", "doc_id": "plain"},
                                     posts={"text": "zlib"}),
                          _identity_sql(["doc_id", "text"])),
+        # small-alphabet pack on a derived hex (hash) column
+        "rt_alpha_hex": (q_rt_alpha_hex,
+                         "SELECT doc_id, md5(text) AS h FROM documents"),
         # stats & combinators
         "stats_sizecolumns": (q_stats_sizecolumns, SQL_STATS),
         "plan_combinators": (q_plan_combinators, SQL_COMBINATORS),

@@ -238,3 +238,38 @@ def test_fbss_nan_payload_bits_preserved():
     out = decode_block(encode_block(arr, codec="fbss"))
     got = np.asarray(out, dtype=np.float64).view(np.uint64)
     assert np.array_equal(got, raw.view(np.uint64))  # exact bit patterns
+
+
+def test_alpha4_hex_roundtrip_and_selection():
+    """alpha4 on a hex column: exact round-trip, beats plain ~2x, and the
+    auto-selector picks it over FSST (smaller AND cheaper)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from colonnade_spark.blocks import block_info, decode_block, encode_block
+
+    vals = [hashlib.md5(str(i).encode()).hexdigest() for i in range(4000)]
+    arr = pa.array(vals)
+    blk = encode_block(arr, codec="alpha4")
+    assert decode_block(blk).equals(arr)
+    plain = encode_block(arr, codec="plain")
+    assert len(blk) < 0.55 * len(plain)
+    assert block_info(encode_block(arr))["codec"] == "alpha4"
+
+
+def test_alpha4_rejects_wide_alphabet_and_handles_edges():
+    import pyarrow as pa
+
+    from colonnade_spark.blocks import block_info, decode_block, encode_block
+
+    # >16 distinct bytes → estimate prices it out of auto selection
+    wide = pa.array(["abcdefghijklmnopqrstuvwxyz"] * 100)
+    assert block_info(encode_block(wide))["codec"] != "alpha4"
+    # empty strings, nulls, single-symbol alphabet
+    arr = pa.array((["aaaa", "", None, "aa"] * 64))
+    blk = encode_block(arr, codec="alpha4")
+    assert decode_block(blk).equals(arr)
+    # digits (10-symbol alphabet) round-trip under auto
+    digits = pa.array([str(i).zfill(9) for i in range(3000)])
+    assert decode_block(encode_block(digits)).equals(digits)

@@ -166,3 +166,20 @@ def test_decode_preserves_large_int64_with_nulls(spark, tmp_path):
     for i in range(500):
         expect = big + i if i % 3 else None
         assert decoded[i] == expect, (i, decoded[i], expect)
+
+
+def test_decode_shuffle_free_plan_and_equivalence(spark, corpus_df, tmp_path):
+    """The default decode path must plan WITHOUT a shuffle (stripe rows are
+    file-contiguous by construction), and must produce exactly the rows of
+    the groupBy fallback path."""
+    wh = str(tmp_path / "wh")
+    plan = corpus_plan()
+    engine.encode_table(spark, corpus_df, plan, wh, n_buckets=4,
+                        input_token="dec")
+    fast = engine.decode_table(spark, wh)
+    plan_str = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str, plan_str
+    slow = engine.decode_table(spark, wh, shuffle=True)
+    a = {tuple(r) for r in fast.collect()}
+    b = {tuple(r) for r in slow.collect()}
+    assert a == b and len(a) == N_FILES
