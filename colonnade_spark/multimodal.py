@@ -160,6 +160,45 @@ def extract_features(df, id_col: str, bin_col: str, modality: str = "fake",
     return src.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_stub(df, id_col: str, bin_col: str, target: int = 16):
+    """Image-resize plumbing: (id, payload) → (id, h, w, resized binary).
+
+    The decode step is a deterministic fake (payload bytes reshaped to the
+    largest fitting square "image", nearest-neighbor sampled down/up to
+    ``target`` x ``target``) — swap in a real decoder via register_decoder
+    when image libs exist.  The Spark-side contract (mapInPandas batch
+    shape, binary-out schema, size-capped batches) is real and tested."""
+    from pyspark.sql import functions as F
+
+    src = df.select(F.col(id_col).cast("bigint").alias("id"),
+                    F.col(bin_col).alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            for sub in _size_capped(pdf, "payload", 64 << 20):
+                ids, hs, ws, outs = [], [], [], []
+                for i, p in zip(sub["id"], sub["payload"]):
+                    b = np.frombuffer(bytes(p) if p is not None else b"",
+                                      dtype=np.uint8)
+                    side = max(int(np.sqrt(b.size)), 1)
+                    img = b[: side * side].reshape(side, side) if b.size \
+                        else np.zeros((1, 1), dtype=np.uint8)
+                    # nearest-neighbor resample to target x target
+                    idx = (np.arange(target) * img.shape[0]) // target
+                    small = img[idx][:, idx]
+                    ids.append(i)
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    outs.append(small.tobytes())
+                yield pd.DataFrame({"id": np.asarray(ids, dtype=np.int64),
+                                    "src_h": np.asarray(hs, dtype=np.int32),
+                                    "src_w": np.asarray(ws, dtype=np.int32),
+                                    "resized": outs})
+
+    return src.mapInPandas(
+        run, schema="id bigint, src_h int, src_w int, resized binary")
+
+
 def frame_sample_stub(df, id_col: str, bin_col: str, every_n: int = 10):
     """Video frame-sampling plumbing: emits (id, frame_idx, frame_bytes) rows
     where the split step is a deterministic fake (fixed-size byte windows in

@@ -623,6 +623,30 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column (get_json_object — the metadata-munging shape of every
+    training pipeline) and aggregate it per event type."""
+    from pyspark.sql import functions as F
+
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("k").cast("bigint").alias("n_with_k"),
+                 F.sum("k").cast("bigint").alias("k_sum"),
+                 F.max("k").cast("bigint").alias("k_max")))
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
 def q_tpch_shipping_priority(spark, sf_dir):
     """TPC-H Q3-shaped join pipeline: customer (filtered segment) ⋈ orders
     ⋈ lineitem.  The dimension side is explicitly broadcast — at 100 TB the
@@ -789,8 +813,9 @@ def _raw_registry() -> dict:
         "simhash_neardup": (q_simhash_neardup, None),  # rows-only
         "multimodal_meta": (q_multimodal_meta, SQL_MM_META),
         "multimodal_features": (q_multimodal_features, None),  # stub decode
-        # relational shell + event-time window
+        # relational shell + event-time window + semi-structured
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+        "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
         "tpch_shipping_priority": (q_tpch_shipping_priority, SQL_TPCH_Q3),
         "tpch_pricing": (q_tpch_pricing, SQL_TPCH),
     }

@@ -228,6 +228,18 @@ def test_multimodal_extract_and_frames(spark, docs):
     assert all(r["frame_idx"] < 4 for r in rows)
 
 
+def test_multimodal_resize_stub(spark, docs):
+    from colonnade_spark.multimodal import resize_stub
+
+    binned = docs.limit(20).select("doc_id",
+                                   F.col("text").cast("binary").alias("payload"))
+    rows = resize_stub(binned, "doc_id", "payload", target=8).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["resized"]) == 64          # 8x8 output always
+        assert r["src_h"] == r["src_w"] >= 1
+
+
 def test_multimodal_real_mode_is_explicit_stub(spark, docs):
     from colonnade_spark.multimodal import extract_features
 
