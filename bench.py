@@ -26,6 +26,7 @@ Worker mode (internal):
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
@@ -78,6 +79,14 @@ def encode_worker(cores: int, corpus_dir: str, out_json: str,
     n_buckets = max(cores, int(content_bytes // (24 << 20)) + 1)
     # best-of-N: this host has high steal-time variance; the first attempt
     # also warms the page cache (BASELINE.md environment notes)
+    if attempts == 1:
+        # single-attempt levels must measure the same warm-page-cache state
+        # the best-of-2 levels get from their first attempt — pre-read the
+        # corpus files (cheap, I/O only, no compute head start)
+        for part in sorted(glob.glob(os.path.join(corpus_dir, "*.parquet"))):
+            with open(part, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
     wall, walls = None, []
     manifest = best_manifest = None
     for _attempt in range(max(attempts, 1)):
