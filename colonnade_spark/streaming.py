@@ -66,6 +66,89 @@ def stream_encode(spark, input_path: str, warehouse: str, plan: EncodePlan,
     return q
 
 
+def stream_windowed_counts(spark, input_path: str, out_dir: str, *,
+                           checkpoint_dir: str, ts_col: str = "ts",
+                           key_col: str = "event_type",
+                           window: str = "1 hour",
+                           watermark: str = "30 minutes",
+                           max_files_per_trigger: int = 1):
+    """Event-time windowed aggregation with a WATERMARK over a file stream —
+    the late-data shape of Structured Streaming: windows finalize once the
+    watermark (max seen event time − ``watermark``) passes their end, and
+    events arriving later than the watermark are dropped, not double
+    counted.  Append-mode parquet sink; the watermark state lives in the
+    streaming checkpoint, so late data across RESTARTS is handled too
+    (re-invoke with the same checkpoint).  Returns after draining available
+    input (``availableNow``)."""
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(input_path).schema
+    agg = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .parquet(input_path)
+           .withWatermark(ts_col, watermark)
+           .groupBy(F.window(ts_col, window), key_col)
+           .agg(F.count("*").alias("n_events")))
+    q = (agg.select(F.col("window.start").alias("win_start"), key_col,
+                    "n_events")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def stream_dedup_exact(spark, input_path: str, *, checkpoint_dir: str,
+                       out_dir: str, text_col: str = "content",
+                       max_files_per_trigger: int = 1,
+                       timeout_minutes: int = 0):
+    """Streaming exact deduplication — a CUSTOM STATEFUL operator via
+    ``applyInPandasWithState``: state is keyed by the content hash; the
+    first arrival of each distinct content passes through, every later
+    duplicate (same batch or any later batch) is dropped.  The training-
+    pipeline "dedup the firehose" shape: state is partitioned by key (scales
+    horizontally) and checkpointed (restart-safe).  Appends survivors to
+    ``out_dir`` and returns after draining available input."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(input_path).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .parquet(input_path)
+           .withColumn("__h", F.sha2(F.col(text_col), 256)))
+
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in schema.fields)
+
+    def keep_first(key, pdfs, state: GroupState):
+        seen = state.exists
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if not seen:
+                seen = True
+                state.update((1,))
+                yield pdf.iloc[[0]].drop(columns=["__h"])
+            # later rows of this key (this batch or later ones): duplicates
+
+    q = (src.groupBy("__h")
+         .applyInPandasWithState(keep_first, outputStructType=out_ddl,
+                                 stateStructType="n int",
+                                 outputMode="append",
+                                 timeoutConf=GroupStateTimeout.NoTimeout)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
 def batch_warehouses(warehouse: str) -> list:
     return sorted(glob.glob(os.path.join(warehouse, "batch=*")),
                   key=lambda p: int(p.rsplit("=", 1)[1]))

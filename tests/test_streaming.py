@@ -59,3 +59,64 @@ def test_stream_encode_ingests_and_resumes_incrementally(spark, tmp_path):
 def test_stream_decode_empty_warehouse_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         streaming.stream_decode(spark, str(tmp_path / "nope"))
+
+
+def test_stream_windowed_counts_watermark_drops_late(spark, tmp_path):
+    """Watermarked windowed agg: windows finalize when the watermark passes
+    their end; an event arriving (in a later restart) far behind the
+    watermark is dropped — not re-counted into a finalized window."""
+    from datetime import datetime
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "ts timestamp, event_type string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    # run 1: events in hour 10 and hour 13 → watermark advances to
+    # 13:00 - 30min = 12:30, finalizing the hour-10 window
+    write([(datetime(2026, 1, 1, 10, 5), "a"),
+           (datetime(2026, 1, 1, 10, 20), "a"),
+           (datetime(2026, 1, 1, 13, 0), "b")])
+    streaming.stream_windowed_counts(spark, src, out, checkpoint_dir=ckpt)
+    got1 = {(r["win_start"].hour, r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()}
+    assert got1.get((10, "a")) == 2          # hour-10 window finalized
+
+    # run 2 (same checkpoint → watermark persisted): one LATE event for the
+    # finalized hour-10 window plus one on-time event that closes hour 13
+    write([(datetime(2026, 1, 1, 10, 40), "a"),    # late: behind watermark
+           (datetime(2026, 1, 1, 15, 0), "c")])
+    streaming.stream_windowed_counts(spark, src, out, checkpoint_dir=ckpt)
+    got2 = {(r["win_start"].hour, r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()}
+    assert got2[(10, "a")] == 2              # late event dropped
+    assert got2.get((13, "b")) == 1          # hour-13 finalized by 15:00
+
+
+def test_stream_dedup_exact_stateful(spark, tmp_path):
+    """applyInPandasWithState keep-first dedup: duplicates within a batch
+    AND across later batches are dropped; state survives via checkpoint."""
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "uniq")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, content string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, "alpha"), (2, "beta"), (3, "alpha")])     # in-batch dup
+    streaming.stream_dedup_exact(spark, src, checkpoint_dir=ckpt,
+                                 out_dir=out, text_col="content")
+    got = {r["content"] for r in spark.read.parquet(out).collect()}
+    assert got == {"alpha", "beta"}
+
+    # later batch: one cross-batch duplicate, one new
+    write([(4, "beta"), (5, "gamma")])
+    streaming.stream_dedup_exact(spark, src, checkpoint_dir=ckpt,
+                                 out_dir=out, text_col="content")
+    rows = spark.read.parquet(out).collect()
+    contents = sorted(r["content"] for r in rows)
+    assert contents == ["alpha", "beta", "gamma"]        # beta not re-emitted
