@@ -575,6 +575,26 @@ def q_codec_selection(spark, sf_dir):
         "column", "codec", "bytes_in", "bytes_out")
 
 
+def q_dedup_near_cluster(spark, sf_dir):
+    """Near-dup clustering capstone: MinHash+LSH pairs → connected
+    components (iterative min-label propagation) → one survivor per
+    cluster.  Input = documents ∪ perturbed copies, so every original
+    should survive and every perturbed twin should be clustered away
+    (rows-only: the rolling-hash candidate generation isn't
+    SQL-expressible)."""
+    from pyspark.sql import functions as F
+
+    from .textops import dedup_near_keep_first
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    kept = dedup_near_keep_first(spark, docs.union(perturbed),
+                                 "doc_id", "text", threshold=0.5)
+    return kept.select(F.col("doc_id").cast("bigint")).orderBy("doc_id")
+
+
 def q_minhash_neardup(spark, sf_dir):
     """MinHash+LSH near-duplicate detection (rows-only check: not
     SQL-expressible).  To exercise the operator on data that actually has
@@ -798,6 +818,7 @@ def _raw_registry() -> dict:
         "codec_selection": (q_codec_selection, None),  # engine-defined
         "dedup_exact": (q_dedup_exact, SQL_DEDUP),
         "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP),
+        "dedup_near_cluster": (q_dedup_near_cluster, None),  # rows-only
         "token_count": (q_token_count, SQL_TOKENS),
         "token_count_bpe": (q_token_count_bpe, SQL_TOKENS_BPE),
         "doc_quality": (q_doc_quality, SQL_QUALITY),

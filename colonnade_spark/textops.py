@@ -340,6 +340,63 @@ def simhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
 
 
 # --------------------------------------------------------------------------
+# near-duplicate clustering (connected components over candidate pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
+                         max_iters: int = 20):
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node repeatedly adopts the smallest label
+    among itself and its neighbors; converges in <= graph-diameter rounds
+    (near-dup clusters are small and dense, so a handful).
+
+    Returns (id, component) where component = min id in the component.
+
+    100-TB shape: each round is one shuffle join edges⋈labels + one groupBy
+    min — the standard large-scale CC pattern (no driver-side graph); the
+    loop stops early when a round changes nothing (one count per round,
+    same discipline as AQE's runtime decisions).
+    """
+    from pyspark.sql import functions as F
+
+    ids = ids_df.select(F.col(id_col).alias("id")).distinct()
+    edges = (pairs_df.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+             .unionByName(pairs_df.select(F.col("id_b").alias("u"),
+                                          F.col("id_a").alias("v")))
+             .distinct().cache())
+    labels = ids.select("id", F.col("id").alias("comp")).cache()
+    for _ in range(max_iters):
+        nbr_min = (edges.join(labels, edges.v == labels.id)
+                   .groupBy("u").agg(F.min("comp").alias("nbr_comp")))
+        new_labels = (labels.join(nbr_min, labels.id == nbr_min.u, "left")
+                      .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
+                              .alias("comp"))
+                      .cache())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter("n.comp <> o.comp").limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("comp"))
+
+
+def dedup_near_keep_first(spark, df, id_col: str, text_col: str,
+                          threshold: float = 0.8, **minhash_kw):
+    """Materializing near-dedup: MinHash+LSH candidate pairs → connected
+    components → keep the smallest id per component (the pipeline-facing
+    'one survivor per near-duplicate cluster')."""
+    from pyspark.sql import functions as F
+
+    pairs = minhash_near_dup_pairs(spark, df, id_col, text_col,
+                                   threshold=threshold, **minhash_kw)
+    comp = connected_components(df.select(id_col), pairs, id_col=id_col)
+    keep = (comp.groupBy("comp").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
 # winnowing fingerprints (rolling hash)
 # --------------------------------------------------------------------------
 

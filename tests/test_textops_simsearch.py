@@ -267,3 +267,28 @@ def test_winnow_fingerprints_properties():
     # short docs still fingerprint (single minimum)
     (tiny,) = winnow_batch(["ab"])
     assert len(tiny) == 1
+
+
+def test_connected_components_and_near_dedup(spark, docs):
+    from colonnade_spark.textops import (connected_components,
+                                         dedup_near_keep_first)
+
+    # hand-built graph: {1,2,3} via chain, {4,5}, {6} isolated
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    comp = {r["doc_id"]: r["comp"]
+            for r in connected_components(ids, pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == 4
+    assert comp[6] == 6
+
+    # end-to-end: docs ∪ perturbed copies → exactly one survivor per
+    # near-dup cluster, and it's the original (smaller id)
+    both = _with_perturbed(docs.limit(100))
+    kept = dedup_near_keep_first(spark, both, "doc_id", "text",
+                                 threshold=0.5)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    n_pert_kept = sum(1 for i in kept_ids if i >= 1_000_000)
+    assert len(kept_ids) <= 105          # ~one per cluster (plus stragglers)
+    assert n_pert_kept <= 5              # originals win (min id)
