@@ -45,6 +45,11 @@ BLOCKS_SCHEMA = pa.schema([
     ("n_rows", pa.int64()),
     ("bytes_in", pa.int64()),
     ("bytes_out", pa.int64()),
+    # zone map: per-block min/max for integer columns (null otherwise) —
+    # stripe-level scan pruning at decode (the block-store analog of
+    # parquet row-group statistics / Iceberg metrics)
+    ("vmin", pa.int64()),
+    ("vmax", pa.int64()),
     ("block", pa.large_binary()),
 ])
 
@@ -172,8 +177,12 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
             ms = (time.perf_counter() - t0) * 1e3
             info = B.block_info(blk)
             bytes_in = arr.nbytes
+            vmin = vmax = None
+            if pa.types.is_integer(arr.type) and len(arr) - arr.null_count:
+                mm = pa.compute.min_max(arr)
+                vmin, vmax = mm["min"].as_py(), mm["max"].as_py()
             rows_out.append((stripe, name, info["codec"], len(arr),
-                             bytes_in, len(blk), blk))
+                             bytes_in, len(blk), vmin, vmax, blk))
             lineage.append((stripe, name, info["codec"], len(arr),
                             bytes_in, len(blk), ms))
             total_in += bytes_in
@@ -182,7 +191,8 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
         stripe += 1
     blocks_tbl = pa.Table.from_arrays(
         [pa.array([r[i] for r in rows_out],
-                  type=BLOCKS_SCHEMA.field(i).type) for i in range(7)],
+                  type=BLOCKS_SCHEMA.field(i).type)
+         for i in range(len(BLOCKS_SCHEMA))],
         schema=BLOCKS_SCHEMA)
     lineage_tbl = pa.Table.from_arrays(
         [pa.array([r[i] for r in lineage],
@@ -329,7 +339,9 @@ def read_manifest(warehouse: str) -> dict:
         return json.load(f)
 
 
-def decode_table(spark, warehouse: str, *, shuffle: bool = False):
+def decode_table(spark, warehouse: str, *, shuffle: bool = False,
+                 columns: list | None = None,
+                 zone_filter: tuple | None = None):
     """Blocks → rows (the ``uncheckedRun`` analog,
     /root/reference/siphon/src/Siphon.hs:718-749, per-block not per-row).
 
@@ -343,19 +355,51 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False):
     keeps the groupBy(bucket, stripe) + applyInArrow fallback, which makes
     no layout assumption.
 
+    ``columns`` decodes a SUBSET of the planned columns — the columnar-store
+    payoff: non-requested columns' blocks are filtered out by the Catalyst
+    scan and never decompressed or shipped.
+
+    ``zone_filter=(col, lo, hi)`` prunes at stripe granularity using the
+    per-block zone maps (vmin/vmax written for integer columns at encode):
+    only stripes whose [vmin, vmax] for ``col`` overlaps [lo, hi] are
+    decoded.  Like any zone map this returns a SUPERSET of matching rows
+    (the stripes are pre-filtered, not the rows) — apply the exact residual
+    predicate on the result.
+
     Arrow end-to-end: the earlier applyInPandas path corrupted nullable
     int64 via the pandas float64 conversion (values above 2^53); arrow
     arrays pass through losslessly."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import _parse_datatype_string
     from pyspark.sql.pandas.types import to_arrow_schema
 
     manifest = read_manifest(warehouse)
     plan = EncodePlan.from_json(json.dumps(manifest["plan"]))
-    cols = plan.column_names
-    out_schema = manifest["schema_ddl"].replace("struct<", "").rstrip(">")
+    all_cols = plan.column_names
+    cols = list(columns) if columns is not None else all_cols
+    unknown = [c for c in cols if c not in all_cols]
+    if unknown:
+        raise KeyError(f"columns not in plan: {unknown}")
+    full_ddl = manifest["schema_ddl"].replace("struct<", "").rstrip(">")
+    full_schema = _parse_datatype_string(full_ddl)
+    keep_fields = [f for f in full_schema.fields if f.name in cols]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in keep_fields)
     arrow_schema = to_arrow_schema(_parse_datatype_string(out_schema))
 
     blocks_df = spark.read.parquet(os.path.join(warehouse, "blocks"))
+    if zone_filter is not None:
+        zcol, lo, hi = zone_filter
+        live = (blocks_df
+                .filter((F.col("column") == zcol)
+                        & F.col("vmin").isNotNull()
+                        & (F.col("vmax") >= F.lit(lo))
+                        & (F.col("vmin") <= F.lit(hi)))
+                .select("bucket", "stripe"))
+        blocks_df = blocks_df.join(F.broadcast(live.distinct()),
+                                   ["bucket", "stripe"], "left_semi")
+    if columns is not None:
+        blocks_df = blocks_df.filter(F.col("column").isin(cols))
 
     def assemble_one(names, blobs):
         arrays = {}

@@ -183,3 +183,36 @@ def test_decode_shuffle_free_plan_and_equivalence(spark, corpus_df, tmp_path):
     a = {tuple(r) for r in fast.collect()}
     b = {tuple(r) for r in slow.collect()}
     assert a == b and len(a) == N_FILES
+
+
+def test_decode_column_subset_and_zone_pruning(spark, tmp_path):
+    """Columnar payoffs: decode only requested columns; prune stripes via
+    per-block integer zone maps (superset semantics — residual predicate
+    applied by the caller)."""
+    rows = [(i, i * 3, f"txt{i:05d}" * 6) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, v long, s string")
+    from colonnade_spark.plan import plan as mkplan
+    p = (mkplan().headed("k").headed("v").headed("s")
+         .with_keys("k").with_cluster("k"))
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, df, p, wh, n_buckets=2, stripe_bytes=16 << 10,
+                        input_token="zone")
+    # column subset: only the requested columns come back
+    sub = engine.decode_table(spark, wh, columns=["k", "v"])
+    assert sub.columns == ["k", "v"]
+    assert sub.count() == 2000
+    # zone pruning on v in [300, 360] (k in [100, 120])
+    pruned = engine.decode_table(spark, wh, zone_filter=("v", 300, 360))
+    got = pruned.collect()
+    vs = {r["v"] for r in got}
+    assert {v for v in range(300, 361) if v % 3 == 0} <= vs  # superset holds
+    # stripe-granular pruning: only the first ~480-row stripe per bucket
+    # overlaps [300,360]; the other two per bucket are skipped
+    assert len(got) <= 1000, len(got)
+    # residual predicate on the pruned scan gives the exact answer
+    exact = pruned.filter("v between 300 and 360").count()
+    assert exact == len([v for v in range(300, 361) if v % 3 == 0])
+    # combined: subset + pruning (stripe-granular: one stripe per bucket)
+    both = engine.decode_table(spark, wh, columns=["v"],
+                               zone_filter=("v", 0, 30))
+    assert both.columns == ["v"] and 0 < both.count() <= 1000
