@@ -37,8 +37,13 @@ def test_sigkill_then_resume(spark):
     cmd = [sys.executable, os.path.join(REPO, "scripts", "submit_job.py"),
            "encode", "--input", CORPUS, "--warehouse", WH,
            "--n-buckets", "12", "--cores", "2", "--mode", "overwrite"]
+    # own process group: the SIGKILL must take out the driver AND its JVM
+    # child together — an orphaned JVM keeps finishing bucket tasks (and
+    # writing markers) for several seconds after the driver dies, racing
+    # the marker snapshot below
     proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
-                            stderr=subprocess.DEVNULL)
+                            stderr=subprocess.DEVNULL,
+                            start_new_session=True)
     deadline = time.time() + 400
     markers = []
     try:
@@ -51,9 +56,10 @@ def test_sigkill_then_resume(spark):
             time.sleep(0.5)
         assert proc.poll() is None, "job finished before we could kill it — " \
             f"{len(markers)} markers; raise N_FILES"
-        os.kill(proc.pid, signal.SIGKILL)
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
     finally:
         proc.wait()
+    time.sleep(1.0)  # let any in-flight atomic marker renames settle
 
     done_before = {p: os.path.getmtime(p) for p in
                    glob.glob(os.path.join(WH, "blocks", "bucket=*",
