@@ -347,6 +347,46 @@ def q_doc_winnow(spark, sf_dir):
                      agg.alias("fp_xor"))
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact character-5-gram Jaccard for adjacent doc pairs (doc_id,
+    doc_id+1) — JVM built-ins only (sequence → transform(substring) →
+    array ops), mirrored exactly in DuckDB (both substr semantics are
+    character-based); jaccard emitted in integer milli-units."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
+               " i -> substring(text, i, 5)))").alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("id_a"),
+                  F.col("sh").alias("sh_b"))
+    j = a.join(b, "id_a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        F.col("id_a").cast("bigint"),
+        inter.cast("bigint").alias("n_inter"),
+        union.cast("bigint").alias("n_union"),
+        F.floor(inter * 1000 / union).cast("bigint").alias("jaccard_milli"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                                      i -> substr(text, CAST(i AS INT), 5))) AS sh
+  FROM documents)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(length(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       CAST(length(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union,
+       CAST(floor(length(list_intersect(a.sh, b.sh)) * 1000.0 /
+                  length(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_milli
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprint: whitespace-normalized content hash."""
     from pyspark.sql import functions as F
@@ -825,6 +865,7 @@ def _raw_registry() -> dict:
         "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
         "doc_winnow": (q_doc_winnow, None),            # rolling hash → rows-only
+        "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "ann_topk": (q_ann_topk, SQL_ANN),
         "ann_lsh_topk": (q_ann_lsh_topk, None),        # approximate → rows-only
         "ann_ivf_topk": (q_ann_ivf_topk, None),        # approximate → rows-only
