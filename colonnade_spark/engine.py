@@ -110,28 +110,64 @@ def assign_buckets(df, plan: EncodePlan, n_buckets: int,
 # encode
 # --------------------------------------------------------------------------
 
+def _row_sizes(batch: pa.RecordBatch) -> np.ndarray:
+    """Exact per-row data bytes (var-width columns via offset diffs,
+    fixed-width via type width) — the honest basis for the stripe cap."""
+    n = batch.num_rows
+    sizes = np.zeros(n, dtype=np.int64)
+    for col in batch.columns:
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_binary(t):
+            off = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                                count=n + 1, offset=col.offset * 4)
+            sizes += np.diff(off.astype(np.int64)) + 4
+        elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            off = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                                count=n + 1, offset=col.offset * 8)
+            sizes += np.diff(off) + 8
+        elif pa.types.is_boolean(t):
+            sizes += 1
+        else:
+            try:
+                sizes += max(t.bit_width // 8, 1)
+            except ValueError:      # nested/param types: rough floor
+                sizes += 8
+    return sizes
+
+
 def _stripe_iter(pf_paths, columns, stripe_bytes):
-    """Yield row-aligned arrow Tables, each <= stripe_bytes (soft cap: a
-    single giant row may exceed it alone — the multi-block-cell fixture)."""
+    """Yield row-aligned arrow Tables, each <= stripe_bytes where possible.
+
+    Cuts use EXACT per-row byte sizes (not a uniform-row estimate), so a
+    single giant cell is isolated into its own stripe (the multi-block-cell
+    path) instead of dragging neighbors past the cap."""
     buf, buf_bytes = [], 0
     for path in pf_paths:
         pf = pq.ParquetFile(path)
         for batch in pf.iter_batches(batch_size=8192, columns=columns):
             if batch.num_rows == 0:
                 continue
-            # split oversized batches by rows so stripes honor the byte cap
-            if batch.nbytes > stripe_bytes and batch.num_rows > 1:
-                per_row = max(batch.nbytes // batch.num_rows, 1)
-                step = max(int(stripe_bytes // per_row), 1)
-                subs = [batch.slice(o, step) for o in range(0, batch.num_rows, step)]
-            else:
-                subs = [batch]
-            for sub in subs:
-                buf.append(sub)
-                buf_bytes += sub.nbytes
+            sizes = _row_sizes(batch)
+            cum = np.cumsum(sizes)
+            lo = 0
+            while lo < batch.num_rows:
+                room = stripe_bytes - buf_bytes
+                if buf_bytes and int(sizes[lo]) > room:
+                    # next row alone overflows the open stripe: close it so
+                    # an oversized row starts (and fills) its own stripe
+                    yield pa.Table.from_batches(buf)
+                    buf, buf_bytes = [], 0
+                    room = stripe_bytes
+                base = int(cum[lo - 1]) if lo else 0
+                hi = int(np.searchsorted(cum, base + max(room, 1),
+                                         side="left")) + 1
+                hi = min(max(hi, lo + 1), batch.num_rows)
+                buf.append(batch.slice(lo, hi - lo))
+                buf_bytes += int(cum[hi - 1]) - base
                 if buf_bytes >= stripe_bytes:
                     yield pa.Table.from_batches(buf)
                     buf, buf_bytes = [], 0
+                lo = hi
     if buf:
         yield pa.Table.from_batches(buf)
 

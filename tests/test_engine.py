@@ -216,3 +216,46 @@ def test_decode_column_subset_and_zone_pruning(spark, tmp_path):
     both = engine.decode_table(spark, wh, columns=["v"],
                                zone_filter=("v", 0, 30))
     assert both.columns == ["v"] and 0 < both.count() <= 1000
+
+
+def test_skew_salting_spreads_giant_repo(spark, tmp_path):
+    """SURVEY §4.2 skew handling: one repo holding ~90% of all bytes must
+    fan out over multiple buckets (salt ∝ size), while small repos stay
+    co-located; the whole thing still round-trips."""
+    rows = [("megacorp/monorepo", f"src/f{i}.py", f"c{i}", "py", "x" * 4000)
+            for i in range(800)]
+    rows += [(f"tiny/r{j}", "a.py", f"t{j}", "py", "small file") for j in range(40)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    wh = str(tmp_path / "wh")
+    plan = corpus_plan()
+    engine.encode_table(spark, df, plan, wh, n_buckets=8,
+                        stripe_bytes=256 << 10, target_salt_bytes=256 << 10,
+                        input_token="skew")
+    staged = spark.read.parquet(os.path.join(wh, "staged"))
+    per_bucket = {r["__bucket"] for r in
+                  staged.filter("repo = 'megacorp/monorepo'")
+                  .select("__bucket").distinct().collect()}
+    assert len(per_bucket) >= 3, per_bucket   # giant repo spread by salt
+    assert engine.verify_roundtrip(spark, df, plan, wh)["ok"]
+
+
+def test_giant_cell_multiblock_roundtrip(spark, tmp_path):
+    """A single cell far above the stripe cap (the multi-block-cell
+    fixture): the in-kernel size cap isolates it in its own stripe and the
+    round-trip stays exact."""
+    big = "".join(f"line {i}: the quick brown fox\n" for i in range(400_000))
+    rows = [("r", "giant.txt", "g1", "txt", big)] + \
+           [("r", f"s{i}.txt", f"c{i}", "txt", f"small {i}") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    wh = str(tmp_path / "wh")
+    plan = corpus_plan()
+    engine.encode_table(spark, df, plan, wh, n_buckets=2,
+                        stripe_bytes=1 << 20, input_token="giant")
+    assert engine.verify_roundtrip(spark, df, plan, wh)["ok"]
+    # the giant cell landed in (at least) its own stripe
+    lin = engine.lineage_table(spark, wh)
+    per_stripe_rows = [r["n_rows"] for r in
+                       lin.filter("column = 'content'").collect()]
+    assert 1 in per_stripe_rows, per_stripe_rows
