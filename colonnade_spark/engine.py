@@ -514,12 +514,18 @@ def verify_roundtrip(spark, source_df, plan: EncodePlan, warehouse: str) -> dict
         F.sum(F.when(mismatch, 1).otherwise(0)).alias("mismatches"),
     ).collect()[0]
     bad = int(row["mismatches"] or 0)
-    return {
+    out = {
         "rows_source": int(row["rows_source"]),
         "rows_decoded": int(row["rows_decoded"]),
         "mismatches": bad,
         "ok": bad == 0,
     }
+    if bad:
+        # diagnostics: a bounded sample of the mismatching keys and which
+        # side is missing/divergent (flakes must leave evidence)
+        out["examples"] = [r.asDict() for r in
+                           joined.filter(mismatch).limit(5).collect()]
+    return out
 
 
 def lineage_table(spark, warehouse: str):

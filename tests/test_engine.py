@@ -237,7 +237,8 @@ def test_skew_salting_spreads_giant_repo(spark, tmp_path):
                   staged.filter("repo = 'megacorp/monorepo'")
                   .select("__bucket").distinct().collect()}
     assert len(per_bucket) >= 3, per_bucket   # giant repo spread by salt
-    assert engine.verify_roundtrip(spark, df, plan, wh)["ok"]
+    summary = engine.verify_roundtrip(spark, df, plan, wh)
+    assert summary["ok"], summary
 
 
 def test_giant_cell_multiblock_roundtrip(spark, tmp_path):
