@@ -53,6 +53,11 @@ def main() -> int:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--generate", type=int, default=0,
                     help="generate a synthetic corpus of N files at --input first")
+    ap.add_argument("--columns", default=None,
+                    help="decode: comma-separated column subset")
+    ap.add_argument("--zone", default=None, metavar="COL:LO:HI",
+                    help="decode: zone-map stripe pruning on an int column "
+                         "(superset semantics; apply the exact filter after)")
     args = ap.parse_args()
 
     from colonnade_spark import engine
@@ -78,8 +83,16 @@ def main() -> int:
         print(json.dumps(manifest))
     elif args.action == "decode":
         out = os.path.join(args.warehouse, "decoded_parquet")
-        engine.decode_table(spark, args.warehouse).write.mode("overwrite").parquet(out)
-        print(json.dumps({"decoded_to": out}))
+        cols = args.columns.split(",") if args.columns else None
+        zone = None
+        if args.zone:
+            zc, lo, hi = args.zone.split(":")
+            zone = (zc, int(lo), int(hi))
+        engine.decode_table(spark, args.warehouse, columns=cols,
+                            zone_filter=zone) \
+            .write.mode("overwrite").parquet(out)
+        print(json.dumps({"decoded_to": out, "columns": cols,
+                          "zone_filter": list(zone) if zone else None}))
     elif args.action == "verify":
         df = spark.read.parquet(args.input)
         print(json.dumps(engine.verify_roundtrip(spark, df, plan, args.warehouse)))
