@@ -30,6 +30,7 @@ import glob
 import json
 import os
 import time
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -234,11 +235,19 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
         [pa.array([r[i] for r in lineage],
                   type=LINEAGE_SCHEMA.field(i).type) for i in range(7)],
         schema=LINEAGE_SCHEMA)
-    # atomic publish: tmp + rename, marker last (crash before marker → redo)
-    tmp = os.path.join(bdir, "_tmp.parquet")
+    # atomic publish: UNIQUE tmp + rename, marker last (crash before marker
+    # → redo).  The tmp name must be unique per task ATTEMPT: Spark can run
+    # duplicate attempts of the same bucket task (retry/speculation), and
+    # two writers interleaving on one fixed tmp path can produce a parquet
+    # that still parses but carries mixed page bytes — observed once as
+    # silent column misalignment at decode.  With unique tmps every attempt
+    # writes a consistent file, and byte-determinism makes the final
+    # last-replace-wins benign (identical bytes).
+    suffix = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(bdir, f"_tmp_{suffix}.parquet")
     pq.write_table(blocks_tbl, tmp, compression="NONE")
     os.replace(tmp, os.path.join(bdir, "part-0.parquet"))
-    ltmp = os.path.join(ldir, f"_tmp_{bucket}.parquet")
+    ltmp = os.path.join(ldir, f"_tmp_{bucket}_{suffix}.parquet")
     pq.write_table(lineage_tbl, ltmp)
     os.replace(ltmp, os.path.join(ldir, f"bucket_{bucket}.parquet"))
     # the marker carries the FULL staging fingerprint (plan + input token +
@@ -248,7 +257,7 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
               "fingerprint": fingerprint, "stripes": stripe,
               "rows": n_rows_total, "bytes_in": total_in, "bytes_out": total_out,
               "wall_s": round(time.perf_counter() - wall0, 3)}
-    mtmp = os.path.join(warehouse, "markers", f"_tmp_{bucket}.json")
+    mtmp = os.path.join(warehouse, "markers", f"_tmp_{bucket}_{suffix}.json")
     os.makedirs(os.path.dirname(mtmp), exist_ok=True)
     with open(mtmp, "w") as f:
         json.dump(marker, f)
@@ -437,13 +446,24 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
     if columns is not None:
         blocks_df = blocks_df.filter(F.col("column").isin(cols))
 
-    def assemble_one(names, blobs):
+    def assemble_one(names, blobs, n_rows=None):
         arrays = {}
-        for name, blob in zip(names, blobs):
-            arrays[name] = B.decode_block(blob)
+        for j, (name, blob) in enumerate(zip(names, blobs)):
+            arr = B.decode_block(blob)
+            # integrity: decoded length must match the block's recorded row
+            # count — a torn/garbled blocks file fails LOUDLY, never as
+            # silent column misalignment (the RowErrorSize analog,
+            # siphon/src/Siphon.hs:671-676)
+            if n_rows is not None and len(arr) != n_rows[j]:
+                raise B.BlockError(
+                    f"block row-count mismatch for {name!r}: decoded "
+                    f"{len(arr)}, recorded {n_rows[j]}")
+            arrays[name] = arr
         missing = [c for c in cols if c not in arrays]
         if missing:
             raise B.BlockError(f"stripe missing column blocks: {missing}")
+        if len(set(names)) != len(names):
+            raise B.BlockError(f"duplicate column blocks in stripe: {names}")
         return pa.table(
             {c: arrays[c].cast(arrow_schema.field(c).type) for c in cols})
 
@@ -456,25 +476,29 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
                 .applyInArrow(reassemble, schema=out_schema))
 
     def stream_stripes(batches):
-        pend_key, pend_names, pend_blobs = None, [], []
+        pend_key, pend_names, pend_blobs, pend_nrows = None, [], [], []
         for batch in batches:
             buckets = batch.column("bucket").to_pylist()
             stripes = batch.column("stripe").to_pylist()
             names = batch.column("column").to_pylist()
+            nrows = batch.column("n_rows").to_pylist()
             blobs = batch.column("block")
             for i in range(batch.num_rows):
                 key = (buckets[i], stripes[i])
                 if key != pend_key:
                     if pend_names:
-                        yield from assemble_one(pend_names, pend_blobs) \
-                            .to_batches()
-                    pend_key, pend_names, pend_blobs = key, [], []
+                        yield from assemble_one(pend_names, pend_blobs,
+                                                pend_nrows).to_batches()
+                    pend_key = key
+                    pend_names, pend_blobs, pend_nrows = [], [], []
                 pend_names.append(names[i])
                 pend_blobs.append(blobs[i].as_py())
+                pend_nrows.append(nrows[i])
         if pend_names:
-            yield from assemble_one(pend_names, pend_blobs).to_batches()
+            yield from assemble_one(pend_names, pend_blobs,
+                                    pend_nrows).to_batches()
 
-    return blocks_df.select("bucket", "stripe", "column", "block") \
+    return blocks_df.select("bucket", "stripe", "column", "n_rows", "block") \
         .mapInArrow(stream_stripes, out_schema)
 
 
