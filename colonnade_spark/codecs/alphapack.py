@@ -42,20 +42,19 @@ class AlphaPackCodec(Codec):
         return col.kind == KIND_STR and col.n > 0 and stats.total_bytes >= 64
 
     def _plan(self, col: ColumnData, ctx: EncodeContext):
-        key = ("alpha4", id(col.data), col.n)
-        memo = ctx.extras.get("alpha4_plan")
-        if memo is not None and memo[0] == key:
-            return memo[1]
+        # NO caching: an earlier id(col.data)-keyed memo silently returned a
+        # PREVIOUS stripe's plan when the next stripe's buffer reallocated
+        # at the same address with the same row count (malloc reuse) — the
+        # stale per-string lengths corrupted offsets at decode.  id() is not
+        # an identity across a chunk's lifetime; recomputing costs one
+        # bincount + diff per call.
         alpha = _alphabet(col.data)
         if alpha is None or alpha.size == 0:
-            plan = None
-        else:
-            w = max(width_for(alpha.size - 1), 1)
-            lens = np.diff(col.offsets)
-            lw = width_for(int(lens.max())) if col.n else 0
-            plan = (alpha, w, lens, lw)
-        ctx.extras["alpha4_plan"] = (key, plan)
-        return plan
+            return None
+        w = max(width_for(alpha.size - 1), 1)
+        lens = np.diff(col.offsets)
+        lw = width_for(int(lens.max())) if col.n else 0
+        return (alpha, w, lens, lw)
 
     def estimate(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> int:
         plan = self._plan(col, ctx)

@@ -27,6 +27,7 @@ when clean, escape otherwise): FSST's escape byte generalizes CSV quoting.
 
 from __future__ import annotations
 
+import zlib
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -376,9 +377,17 @@ class FsstCodec(Codec):
         drifted >25% from build time (content distribution changed — e.g.
         the stripe crossed into a different language's files).
 
-        Memoized per chunk: estimate() and encode() both land here for the
-        same chunk — the second call must not pay a second probe."""
-        chunk_key = (id(col.data), col.n)
+        Memoized per chunk so estimate() and encode() pay one probe.  The
+        memo key is CONTENT-derived (size + sample crc) — NEVER id(): a
+        freed chunk's address can be reused by the next stripe's buffer
+        (malloc reuse), and an id-keyed memo then returns stale state (this
+        exact bug corrupted alpha4 lengths before it was caught; here a
+        stale hit would only pick a stale-but-embedded symbol table, a
+        compression-quality issue, but the key is made sound anyway)."""
+        total = int(col.offsets[-1]) if col.n else 0
+        head = col.data[:128].tobytes() if total else b""
+        tail = col.data[max(total - 128, 0):total].tobytes() if total else b""
+        chunk_key = (col.n, total, zlib.crc32(head + tail))
         memo = ctx.extras.get("fsst_chunk")
         if memo is not None and memo[0] == chunk_key:
             return memo[1]

@@ -236,13 +236,13 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
                   type=LINEAGE_SCHEMA.field(i).type) for i in range(7)],
         schema=LINEAGE_SCHEMA)
     # atomic publish: UNIQUE tmp + rename, marker last (crash before marker
-    # → redo).  The tmp name must be unique per task ATTEMPT: Spark can run
+    # → redo).  The tmp name is unique per task ATTEMPT: Spark can run
     # duplicate attempts of the same bucket task (retry/speculation), and
-    # two writers interleaving on one fixed tmp path can produce a parquet
-    # that still parses but carries mixed page bytes — observed once as
-    # silent column misalignment at decode.  With unique tmps every attempt
-    # writes a consistent file, and byte-determinism makes the final
-    # last-replace-wins benign (identical bytes).
+    # two writers interleaving on one fixed tmp path could produce a torn
+    # file.  With unique tmps every attempt writes a consistent file, and
+    # byte-determinism makes the final last-replace-wins benign (identical
+    # bytes).  (Defensive: the misalignment flake this was first suspected
+    # for was actually the id()-keyed codec memo, see codecs/alphapack.py.)
     suffix = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
     tmp = os.path.join(bdir, f"_tmp_{suffix}.parquet")
     pq.write_table(blocks_tbl, tmp, compression="NONE")
