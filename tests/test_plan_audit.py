@@ -13,13 +13,21 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_q3_broadcasts_dims_and_pushes_filters(spark):
+def test_q3_broadcasts_bounded_side_only_and_pushes_filters(spark):
+    """The 100-TB discipline: exactly ONE explicit broadcast hint (customer,
+    the genuinely bounded dimension).  The date-filtered orders side is
+    fact-sized and must NOT carry a hint — whether lineitem⋈orders broadcasts
+    is Catalyst/AQE's size-based call (correct at sandbox SFs, correct at
+    100 TB)."""
     from colonnade_spark.queries import q_tpch_shipping_priority
 
-    plan = _plan(q_tpch_shipping_priority(spark, SF))
-    # both dimension joins broadcast: the fact side (lineitem) never shuffles
-    assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "SortMergeJoin" not in plan, plan
+    df = q_tpch_shipping_priority(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 1, logical
+    plan = _plan(df)
+    # the customer join is broadcast; no cartesian anywhere
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
     # predicate pushdown reached the scans
     assert "PushedFilters: [IsNotNull(c_mktsegment)" in plan \
         or "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
