@@ -34,6 +34,7 @@ import uuid
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc  # explicit: `import pyarrow` alone does not load it
 import pyarrow.parquet as pq
 
 from . import blocks as B
@@ -137,11 +138,14 @@ def _row_sizes(batch: pa.RecordBatch) -> np.ndarray:
 
 
 def _stripe_iter(pf_paths, columns, stripe_bytes):
-    """Yield row-aligned arrow Tables, each <= stripe_bytes where possible.
+    """Yield row-aligned arrow Tables, each <= stripe_bytes unless a SINGLE
+    row alone exceeds the cap (that row is then isolated into its own
+    stripe — the multi-block-cell path fragments it further at encode).
 
-    Cuts use EXACT per-row byte sizes (not a uniform-row estimate), so a
-    single giant cell is isolated into its own stripe (the multi-block-cell
-    path) instead of dragging neighbors past the cap."""
+    Cuts use EXACT per-row byte sizes (not a uniform-row estimate):
+    ``searchsorted(side="right")`` takes the longest prefix whose byte sum
+    fits the remaining room, so the cap is honored exactly — including on a
+    fresh stripe, where an oversized row never drags a neighbor with it."""
     buf, buf_bytes = [], 0
     for path in pf_paths:
         pf = pq.ParquetFile(path)
@@ -160,8 +164,9 @@ def _stripe_iter(pf_paths, columns, stripe_bytes):
                     buf, buf_bytes = [], 0
                     room = stripe_bytes
                 base = int(cum[lo - 1]) if lo else 0
-                hi = int(np.searchsorted(cum, base + max(room, 1),
-                                         side="left")) + 1
+                # longest prefix with byte sum <= room; max(..., lo+1) is the
+                # progress guarantee when a single row alone exceeds the cap
+                hi = int(np.searchsorted(cum, base + room, side="right"))
                 hi = min(max(hi, lo + 1), batch.num_rows)
                 buf.append(batch.slice(lo, hi - lo))
                 buf_bytes += int(cum[hi - 1]) - base
@@ -216,7 +221,7 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
             bytes_in = arr.nbytes
             vmin = vmax = None
             if pa.types.is_integer(arr.type) and len(arr) - arr.null_count:
-                mm = pa.compute.min_max(arr)
+                mm = pc.min_max(arr)
                 vmin, vmax = mm["min"].as_py(), mm["max"].as_py()
             rows_out.append((stripe, name, info["codec"], len(arr),
                              bytes_in, len(blk), vmin, vmax, blk))

@@ -110,7 +110,9 @@ def _size_capped(pdf: pd.DataFrame, payload_col: str, max_batch_bytes: int):
     lo = 0
     while lo < len(pdf):
         base = cum[lo - 1] if lo else 0
-        hi = int(np.searchsorted(cum, base + max_batch_bytes, side="left")) + 1
+        # longest prefix with byte sum <= cap (side="right", no +1 — the +1
+        # variant systematically included the cap-crossing row)
+        hi = int(np.searchsorted(cum, base + max_batch_bytes, side="right"))
         hi = min(max(hi, lo + 1), len(pdf))
         yield pdf.iloc[lo:hi]
         lo = hi

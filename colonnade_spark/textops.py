@@ -344,7 +344,7 @@ def simhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
 # --------------------------------------------------------------------------
 
 def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
-                         max_iters: int = 20):
+                         max_iters: int = 20, on_max_iters: str = "warn"):
     """Connected components over an undirected pair list by iterative
     min-label propagation: every node repeatedly adopts the smallest label
     among itself and its neighbors; converges in <= graph-diameter rounds
@@ -355,8 +355,18 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
     100-TB shape: each round is one shuffle join edges⋈labels + one groupBy
     min — the standard large-scale CC pattern (no driver-side graph); the
     loop stops early when a round changes nothing (one count per round,
-    same discipline as AQE's runtime decisions).
+    same discipline as AQE's runtime decisions).  Each round's labels are
+    ``localCheckpoint``-ed: the lineage would otherwise grow one join per
+    round (re-planning cost compounds), and the superseded round's cache is
+    unpersisted so memory stays O(one labels table).
+
+    Exiting by iteration count means some cluster's diameter exceeds
+    ``max_iters`` and the labels are SPLIT (multiple survivors per true
+    cluster).  ``on_max_iters``: "warn" (default — ``RuntimeWarning``),
+    "raise" (``RuntimeError``), or "ignore".
     """
+    import warnings
+
     from pyspark.sql import functions as F
 
     ids = ids_df.select(F.col(id_col).alias("id")).distinct()
@@ -365,19 +375,31 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
                                           F.col("id_a").alias("v")))
              .distinct().cache())
     labels = ids.select("id", F.col("id").alias("comp")).cache()
+    converged = False
     for _ in range(max_iters):
         nbr_min = (edges.join(labels, edges.v == labels.id)
                    .groupBy("u").agg(F.min("comp").alias("nbr_comp")))
+        # localCheckpoint = materialize AND truncate lineage (cache alone
+        # keeps the ever-growing join tree alive in the plan)
         new_labels = (labels.join(nbr_min, labels.id == nbr_min.u, "left")
                       .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
                               .alias("comp"))
-                      .cache())
+                      .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter("n.comp <> o.comp").limit(1).count())
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged and on_max_iters != "ignore":
+        msg = (f"connected_components exited at max_iters={max_iters} without "
+               f"a fixed point: some component's labels are split (a cluster "
+               f"with diameter > {max_iters}); raise max_iters")
+        if on_max_iters == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning)
     return labels.select(F.col("id").alias(id_col), F.col("comp"))
 
 

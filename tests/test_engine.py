@@ -241,6 +241,35 @@ def test_skew_salting_spreads_giant_repo(spark, tmp_path):
     assert summary["ok"], summary
 
 
+def test_stripe_iter_honors_cap_exactly(tmp_path):
+    """ADVICE regression: the cap is a true <= bound for multi-row stripes
+    (the old searchsorted+1 closed at >= cap), and a giant row on a FRESH
+    stripe is isolated instead of dragging its neighbor past the cap."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from colonnade_spark.engine import _row_sizes, _stripe_iter
+
+    # fresh-stripe giant: [1MB, 5MB] rows with a 4MB cap → two stripes
+    t = pa.table({"s": ["a" * (1 << 20), "b" * (5 << 20)]})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    assert [s.num_rows for s in _stripe_iter([p], ["s"], 4 << 20)] == [1, 1]
+
+    rng = np.random.default_rng(7)
+    vals = ["x" * int(n) for n in rng.integers(10, 3000, size=500)]
+    p2 = str(tmp_path / "t2.parquet")
+    pq.write_table(pa.table({"s": vals}), p2)
+    cap = 8 << 10
+    total = 0
+    for st in _stripe_iter([p2], ["s"], cap):
+        nbytes = sum(int(_row_sizes(b).sum()) for b in st.to_batches())
+        assert st.num_rows == 1 or nbytes <= cap, (st.num_rows, nbytes)
+        total += st.num_rows
+    assert total == 500
+
+
 def test_giant_cell_multiblock_roundtrip(spark, tmp_path):
     """A single cell far above the stripe cap (the multi-block-cell
     fixture): the in-kernel size cap isolates it in its own stripe and the

@@ -269,6 +269,27 @@ def test_winnow_fingerprints_properties():
     assert len(tiny) == 1
 
 
+def test_connected_components_warns_when_not_converged(spark):
+    """ADVICE regression: exiting by iteration count (cluster diameter >
+    max_iters) must not be silent — split labels get a warning or a raise."""
+    import pytest
+
+    from colonnade_spark.textops import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(7)],
+                                  "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="max_iters"):
+        connected_components(ids, chain, max_iters=1).collect()
+    with pytest.raises(RuntimeError, match="max_iters"):
+        connected_components(ids, chain, max_iters=1,
+                             on_max_iters="raise").collect()
+    # enough rounds → converges silently to one component
+    comp = {r["doc_id"]: r["comp"]
+            for r in connected_components(ids, chain, max_iters=10).collect()}
+    assert set(comp.values()) == {0}
+
+
 def test_connected_components_and_near_dedup(spark, docs):
     from colonnade_spark.textops import (connected_components,
                                          dedup_near_keep_first)
