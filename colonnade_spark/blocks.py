@@ -126,6 +126,10 @@ def encode_block(arr: pa.Array, codec: str = "auto", exclude=(),
 
 def decode_block(buf: bytes | memoryview) -> pa.Array:
     codec_id, header, payload = _unframe(buf)
+    if "f" in header:
+        raise BlockError(
+            f"block is cell fragment {header['f']}: a fragmented cell needs "
+            f"its full set — use decode_cell_fragments")
     if header["n"] == 0:
         return pa.array([], type=pa.type_for_alias(header["t"]))
     if header.get("crc") is not None and zlib.crc32(payload) != header["crc"]:
@@ -141,6 +145,102 @@ def decode_block(buf: bytes | memoryview) -> pa.Array:
         bits = np.frombuffer(base64.b64decode(header["v"]), dtype=np.uint8)
         validity = np.unpackbits(bits, bitorder="little")[: header["n"]].astype(bool)
     return to_arrow(col, validity)
+
+
+# --------------------------------------------------------------------------
+# multi-block cells (a single cell spanning several blocks)
+# --------------------------------------------------------------------------
+#
+# The reference's CSV chunking lets one cell span chunk boundaries, resumed
+# by parser continuations (/root/reference/siphon/src/Siphon.hs:612-616 —
+# `Continue`/`commit` across chunk refills).  Blocks here are row-aligned,
+# so the analog is at the CELL level: a single cell larger than the stripe
+# cap is split into `nfrag` framed fragment blocks (header "f": [i, nfrag]),
+# each carrying a byte slice of the raw cell.  Fragments bound block size
+# (and sidestep the 2 GiB int32-offset cliff: each fragment is well under
+# it, and reassembly can target large types).  decode_block refuses a lone
+# fragment — reassembly needs the full set, via decode_cell_fragments.
+
+_FRAG_KINDS = {"str", "bin"}
+
+
+def encode_cell_fragments(arr: pa.Array, frag_bytes: int,
+                          post: str | None = None) -> list[bytes]:
+    """Split a single oversized var-width cell across multiple framed blocks.
+
+    ``arr`` must be a one-row string/binary array (the stripe cutter already
+    isolates such rows).  Each fragment is independently integrity-checked
+    (per-fragment crc) and optionally post-compressed (the fmap ``post``,
+    applied per fragment so decode can stream them)."""
+    if len(arr) != 1:
+        raise BlockError(f"cell fragmentation takes a 1-row array, got {len(arr)}")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        kind = "str"
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        kind = "bin"
+    else:
+        raise BlockError(f"cell fragmentation needs string/binary, got {t}")
+    if arr.null_count:
+        raise BlockError("a null cell is never oversized; refuse to fragment")
+    v = arr[0].as_py()
+    raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    frag_bytes = max(int(frag_bytes), 1)
+    nfrag = max((len(raw) + frag_bytes - 1) // frag_bytes, 1)
+    frames = []
+    for i in range(nfrag):
+        payload = raw[i * frag_bytes:(i + 1) * frag_bytes]
+        header = {"n": 1, "k": kind, "t": str(t), "f": [i, nfrag]}
+        if post is not None:
+            if post != "zlib":
+                raise BlockError(f"unknown post-encode transform {post!r}")
+            payload = zlib.compress(payload, 6)
+            header["z"] = 1
+        header["crc"] = zlib.crc32(payload)
+        frames.append(_frame(BY_NAME["plain"].codec_id, header, payload))
+    return frames
+
+
+def decode_cell_fragments(frames) -> pa.Array:
+    """Reassemble one cell from its fragment blocks (any order — fragments
+    carry their index).  Validates completeness, duplicates, and per-fragment
+    crc; returns a 1-row arrow array of the original type."""
+    parts: dict[int, bytes] = {}
+    nfrag = kind = typ = None
+    for buf in frames:
+        codec_id, header, payload = _unframe(buf)
+        f = header.get("f")
+        if f is None:
+            raise BlockError("not a cell fragment (no 'f' in header)")
+        i, n = int(f[0]), int(f[1])
+        if header.get("crc") is not None and zlib.crc32(payload) != header["crc"]:
+            raise BlockError(f"crc mismatch in cell fragment {i}/{n}")
+        if header.get("z"):
+            payload = zlib.decompress(payload)
+        if nfrag is None:
+            nfrag, kind, typ = n, header["k"], header["t"]
+        elif (n, header["k"], header["t"]) != (nfrag, kind, typ):
+            raise BlockError("inconsistent fragment set (mixed cells?)")
+        if i in parts:
+            raise BlockError(f"duplicate cell fragment {i}/{n}")
+        parts[i] = bytes(payload)
+    if nfrag is None or len(parts) != nfrag:
+        missing = sorted(set(range(nfrag or 0)) - set(parts))
+        raise BlockError(f"incomplete cell fragment set: missing {missing}")
+    raw = b"".join(parts[i] for i in range(nfrag))
+    atype = pa.type_for_alias(typ)
+    if kind == "str":
+        scalar = raw.decode("utf-8")
+    else:
+        scalar = raw
+    return pa.array([scalar], type=atype)
+
+
+def is_fragment(buf: bytes | memoryview) -> bool:
+    _codec_id, header, _payload = _unframe(buf)
+    return "f" in header
 
 
 def block_info(buf: bytes | memoryview) -> dict:

@@ -44,6 +44,9 @@ BLOCKS_SCHEMA = pa.schema([
     ("stripe", pa.int64()),
     ("column", pa.string()),
     ("codec", pa.string()),
+    # multi-block cells: -1 = whole-column block; >= 0 = fragment index of a
+    # single cell split across blocks (blocks.encode_cell_fragments)
+    ("frag", pa.int64()),
     ("n_rows", pa.int64()),
     ("bytes_in", pa.int64()),
     ("bytes_out", pa.int64()),
@@ -214,6 +217,30 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
             spec = next(s for s in plan.specs if s.name == name)
             arr = table.column(name).combine_chunks()
             t0 = time.perf_counter()
+            if (len(arr) == 1 and arr.null_count == 0
+                    and (pa.types.is_string(arr.type)
+                         or pa.types.is_binary(arr.type)
+                         or pa.types.is_large_string(arr.type)
+                         or pa.types.is_large_binary(arr.type))
+                    and arr.nbytes > stripe_bytes):
+                # multi-block cell: a single cell above the stripe cap is
+                # split across fragment blocks (the reference's cell-spans-
+                # chunks continuation, Siphon.hs:612-616, at the cell level)
+                frames = B.encode_cell_fragments(arr, stripe_bytes,
+                                                 post=spec.post)
+                ms = (time.perf_counter() - t0) * 1e3
+                cell_bytes = arr.nbytes
+                left = cell_bytes
+                for fi, blk in enumerate(frames):
+                    piece = min(stripe_bytes, left)
+                    left -= piece
+                    rows_out.append((stripe, name, "frag", fi, 1,
+                                     piece, len(blk), None, None, blk))
+                    lineage.append((stripe, name, "frag", 1,
+                                    piece, len(blk), ms / len(frames)))
+                    total_out += len(blk)
+                total_in += cell_bytes
+                continue
             blk = B.encode_block(arr, codec=spec.codec, ctx=ctxs[name],
                                  post=spec.post)
             ms = (time.perf_counter() - t0) * 1e3
@@ -223,7 +250,7 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
             if pa.types.is_integer(arr.type) and len(arr) - arr.null_count:
                 mm = pc.min_max(arr)
                 vmin, vmax = mm["min"].as_py(), mm["max"].as_py()
-            rows_out.append((stripe, name, info["codec"], len(arr),
+            rows_out.append((stripe, name, info["codec"], -1, len(arr),
                              bytes_in, len(blk), vmin, vmax, blk))
             lineage.append((stripe, name, info["codec"], len(arr),
                             bytes_in, len(blk), ms))
@@ -451,9 +478,16 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
     if columns is not None:
         blocks_df = blocks_df.filter(F.col("column").isin(cols))
 
-    def assemble_one(names, blobs, n_rows=None):
+    def assemble_one(names, blobs, n_rows=None, frags=None):
         arrays = {}
+        frag_groups: dict[str, list] = {}
         for j, (name, blob) in enumerate(zip(names, blobs)):
+            if frags is not None and frags[j] is not None and frags[j] >= 0:
+                # multi-block cell: collect the fragment set, reassemble below
+                frag_groups.setdefault(name, []).append(blob)
+                continue
+            if name in arrays:
+                raise B.BlockError(f"duplicate column blocks in stripe: {name!r}")
             arr = B.decode_block(blob)
             # integrity: decoded length must match the block's recorded row
             # count — a torn/garbled blocks file fails LOUDLY, never as
@@ -464,46 +498,56 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
                     f"block row-count mismatch for {name!r}: decoded "
                     f"{len(arr)}, recorded {n_rows[j]}")
             arrays[name] = arr
+        for name, frames in frag_groups.items():
+            if name in arrays:
+                raise B.BlockError(
+                    f"column {name!r} has both whole and fragment blocks")
+            arrays[name] = B.decode_cell_fragments(frames)
         missing = [c for c in cols if c not in arrays]
         if missing:
             raise B.BlockError(f"stripe missing column blocks: {missing}")
-        if len(set(names)) != len(names):
-            raise B.BlockError(f"duplicate column blocks in stripe: {names}")
         return pa.table(
             {c: arrays[c].cast(arrow_schema.field(c).type) for c in cols})
 
     if shuffle:
         def reassemble(table: pa.Table) -> pa.Table:
             return assemble_one(table.column("column").to_pylist(),
-                                [b.as_py() for b in table.column("block")])
+                                [b.as_py() for b in table.column("block")],
+                                frags=table.column("frag").to_pylist())
 
         return (blocks_df.groupBy("bucket", "stripe")
                 .applyInArrow(reassemble, schema=out_schema))
 
     def stream_stripes(batches):
-        pend_key, pend_names, pend_blobs, pend_nrows = None, [], [], []
+        pend_key = None
+        pend_names, pend_blobs, pend_nrows, pend_frags = [], [], [], []
         for batch in batches:
             buckets = batch.column("bucket").to_pylist()
             stripes = batch.column("stripe").to_pylist()
             names = batch.column("column").to_pylist()
             nrows = batch.column("n_rows").to_pylist()
+            fr = batch.column("frag").to_pylist()
             blobs = batch.column("block")
             for i in range(batch.num_rows):
                 key = (buckets[i], stripes[i])
                 if key != pend_key:
                     if pend_names:
                         yield from assemble_one(pend_names, pend_blobs,
-                                                pend_nrows).to_batches()
+                                                pend_nrows,
+                                                pend_frags).to_batches()
                     pend_key = key
-                    pend_names, pend_blobs, pend_nrows = [], [], []
+                    pend_names, pend_blobs = [], []
+                    pend_nrows, pend_frags = [], []
                 pend_names.append(names[i])
                 pend_blobs.append(blobs[i].as_py())
                 pend_nrows.append(nrows[i])
+                pend_frags.append(fr[i])
         if pend_names:
-            yield from assemble_one(pend_names, pend_blobs,
-                                    pend_nrows).to_batches()
+            yield from assemble_one(pend_names, pend_blobs, pend_nrows,
+                                    pend_frags).to_batches()
 
-    return blocks_df.select("bucket", "stripe", "column", "n_rows", "block") \
+    return blocks_df.select("bucket", "stripe", "column", "n_rows", "frag",
+                            "block") \
         .mapInArrow(stream_stripes, out_schema)
 
 

@@ -81,6 +81,47 @@ def q_rt_alpha_hex(spark, sf_dir):
     return df.mapInArrow(rt, df.schema)
 
 
+def q_rt_giant_cell(spark, sf_dir):
+    """Round-trip cells through the multi-block-cell path (a cell larger
+    than the block cap splits across fragment blocks — the reference's
+    cell-spans-chunks continuation, siphon/src/Siphon.hs:612-616): each
+    row's 30x-repeated text exceeds the 4 KiB fragment cap, so every cell
+    goes through encode_cell_fragments/decode_cell_fragments.  Identity
+    oracle = the isomorphism property."""
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    df = (_read(spark, sf_dir, "documents")
+          .filter("doc_id < 2000")
+          .select("doc_id", F.repeat(F.col("text"), 30).alias("big")))
+
+    cap = 4 << 10
+
+    def rt(batches):
+        import pyarrow as pa
+
+        from colonnade_spark import blocks as B
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1)
+            out = []
+            for i in range(batch.num_rows):
+                cell = texts.slice(i, 1)
+                if cell.nbytes > cap:        # the engine's fragment trigger
+                    frames = B.encode_cell_fragments(cell, cap)
+                    out.append(B.decode_cell_fragments(frames))
+                else:
+                    out.append(B.decode_block(B.encode_block(cell)))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.concat_arrays(out)], names=["doc_id", "big"])
+
+    return df.mapInArrow(rt, df.schema)
+
+
+SQL_GIANT_CELL = ("SELECT doc_id, repeat(text, 30) AS big FROM documents "
+                  "WHERE doc_id < 2000")
+
+
 def q_stats_sizecolumns(spark, sf_dir):
     """The sizeColumns stats pass (Encode.hs:177-186) as a Spark agg."""
     from pyspark.sql import functions as F
@@ -853,6 +894,9 @@ def _raw_registry() -> dict:
         # small-alphabet pack on a derived hex (hash) column
         "rt_alpha_hex": (q_rt_alpha_hex,
                          "SELECT doc_id, md5(text) AS h FROM documents"),
+        # multi-block cells: every cell > the fragment cap round-trips
+        # through encode_cell_fragments/decode_cell_fragments
+        "rt_giant_cell": (q_rt_giant_cell, SQL_GIANT_CELL),
         # stats & combinators
         "stats_sizecolumns": (q_stats_sizecolumns, SQL_STATS),
         "plan_combinators": (q_plan_combinators, SQL_COMBINATORS),

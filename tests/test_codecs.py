@@ -273,3 +273,61 @@ def test_alpha4_rejects_wide_alphabet_and_handles_edges():
     # digits (10-symbol alphabet) round-trip under auto
     digits = pa.array([str(i).zfill(9) for i in range(3000)])
     assert decode_block(encode_block(digits)).equals(digits)
+
+
+# --------------------------------------------------------------------------
+# multi-block cells (cell fragments)
+# --------------------------------------------------------------------------
+
+def test_cell_fragments_roundtrip_and_order_insensitive():
+    import random
+
+    import pyarrow as pa
+
+    from colonnade_spark.blocks import (decode_cell_fragments,
+                                        encode_cell_fragments, is_fragment)
+
+    cell = ("héllo wörld 日本語🎉 " * 500)  # multi-byte chars cross boundaries
+    arr = pa.array([cell])
+    frames = encode_cell_fragments(arr, 256)
+    assert len(frames) > 10 and all(is_fragment(f) for f in frames)
+    assert decode_cell_fragments(frames)[0].as_py() == cell
+    # fragments carry their index: any arrival order reassembles
+    shuffled = list(frames)
+    random.Random(3).shuffle(shuffled)
+    assert decode_cell_fragments(shuffled)[0].as_py() == cell
+    # binary cells too, with post-compression per fragment
+    raw = bytes(range(256)) * 40
+    bframes = encode_cell_fragments(pa.array([raw], type=pa.binary()),
+                                    1024, post="zlib")
+    assert decode_cell_fragments(bframes)[0].as_py() == raw
+
+
+def test_cell_fragments_fail_loudly():
+    import pyarrow as pa
+    import pytest
+
+    from colonnade_spark.blocks import (BlockError, decode_block,
+                                        decode_cell_fragments,
+                                        encode_cell_fragments)
+
+    frames = encode_cell_fragments(pa.array(["x" * 5000]), 1024)
+    # a lone fragment is not a decodable block
+    with pytest.raises(BlockError, match="fragment"):
+        decode_block(frames[0])
+    # incomplete set
+    with pytest.raises(BlockError, match="missing"):
+        decode_cell_fragments(frames[:-1])
+    # duplicate fragment
+    with pytest.raises(BlockError, match="duplicate"):
+        decode_cell_fragments(frames + [frames[0]])
+    # corrupted payload → per-fragment crc
+    bad = bytearray(frames[1])
+    bad[-1] ^= 0xFF
+    with pytest.raises(BlockError, match="crc"):
+        decode_cell_fragments([frames[0], bytes(bad)] + frames[2:])
+    # multi-row arrays and non-string types are refused
+    with pytest.raises(BlockError, match="1-row"):
+        encode_cell_fragments(pa.array(["a", "b"]), 10)
+    with pytest.raises(BlockError, match="string/binary"):
+        encode_cell_fragments(pa.array([123]), 10)

@@ -271,9 +271,10 @@ def test_stripe_iter_honors_cap_exactly(tmp_path):
 
 
 def test_giant_cell_multiblock_roundtrip(spark, tmp_path):
-    """A single cell far above the stripe cap (the multi-block-cell
-    fixture): the in-kernel size cap isolates it in its own stripe and the
-    round-trip stays exact."""
+    """A single cell far above the stripe cap (the multi-block-cell path,
+    reference parser continuations siphon/src/Siphon.hs:612-616): the stripe
+    cutter isolates it, the encoder SPLITS it across fragment blocks (each
+    <= ~stripe_bytes), and the round-trip stays exact."""
     big = "".join(f"line {i}: the quick brown fox\n" for i in range(400_000))
     rows = [("r", "giant.txt", "g1", "txt", big)] + \
            [("r", f"s{i}.txt", f"c{i}", "txt", f"small {i}") for i in range(50)]
@@ -284,8 +285,33 @@ def test_giant_cell_multiblock_roundtrip(spark, tmp_path):
     engine.encode_table(spark, df, plan, wh, n_buckets=2,
                         stripe_bytes=1 << 20, input_token="giant")
     assert engine.verify_roundtrip(spark, df, plan, wh)["ok"]
-    # the giant cell landed in (at least) its own stripe
-    lin = engine.lineage_table(spark, wh)
-    per_stripe_rows = [r["n_rows"] for r in
-                       lin.filter("column = 'content'").collect()]
-    assert 1 in per_stripe_rows, per_stripe_rows
+    # the ~11 MB cell was split across >= 11 fragment blocks, none far over
+    # the 1 MiB cap
+    blocks_df = spark.read.parquet(os.path.join(wh, "blocks"))
+    frag_rows = blocks_df.filter("column = 'content' AND frag >= 0").collect()
+    assert len(frag_rows) >= 11, len(frag_rows)
+    assert all(r["bytes_out"] <= (1 << 20) + 4096 for r in frag_rows)
+    # both decode paths agree on the giant cell
+    fast = engine.decode_table(spark, wh).filter("path = 'giant.txt'")
+    slow = engine.decode_table(spark, wh, shuffle=True).filter("path = 'giant.txt'")
+    assert fast.collect()[0]["content"] == big
+    assert slow.collect()[0]["content"] == big
+
+
+def test_cell_fragments_property_tiny_cap(spark, tmp_path):
+    """The reference's byte-per-chunk stress (siphon/test/Test.hs:103-122)
+    at the cell level: a 1 KiB stripe cap forces EVERY multi-KiB cell through
+    the fragment path; round-trip must stay exact, including multi-byte
+    UTF-8 split across fragment boundaries."""
+    rows = [(f"r{i % 3}", f"p{i}", f"c{i}", "txt",
+             (f"doc {i} – füñky ünïcode 日本語 " * 200)[: 3000 + 17 * i])
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    wh = str(tmp_path / "wh")
+    plan = corpus_plan()
+    engine.encode_table(spark, df, plan, wh, n_buckets=2,
+                        stripe_bytes=1 << 10, input_token="tinycap")
+    assert engine.verify_roundtrip(spark, df, plan, wh)["ok"]
+    blocks_df = spark.read.parquet(os.path.join(wh, "blocks"))
+    assert blocks_df.filter("frag >= 0").count() >= 12 * 3  # all fragmented
