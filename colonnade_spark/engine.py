@@ -55,8 +55,33 @@ BLOCKS_SCHEMA = pa.schema([
     # parquet row-group statistics / Iceberg metrics)
     ("vmin", pa.int64()),
     ("vmax", pa.int64()),
+    # string/binary zone map: parquet-style TRUNCATED bounds on the UTF-8
+    # bytes — smin is a <=16-byte prefix of the true min (a valid lower
+    # bound); smax is the 16-byte prefix of the true max with its last
+    # non-0xFF byte incremented (a valid upper bound; null = unbounded)
+    ("smin", pa.binary()),
+    ("smax", pa.binary()),
     ("block", pa.large_binary()),
 ])
+
+_ZONE_PREFIX = 16
+
+
+def _zone_str_bounds(mn: bytes, mx: bytes):
+    """Order-preserving truncation of raw byte bounds (the parquet
+    statistics-truncation rule): prefix for the min; prefix+increment for
+    the max (rightmost byte < 0xFF bumps, suffix drops; an all-0xFF prefix
+    has no finite upper bound → None)."""
+    smin = mn[:_ZONE_PREFIX]
+    if len(mx) <= _ZONE_PREFIX:
+        smax = mx
+    else:
+        p = bytearray(mx[:_ZONE_PREFIX])
+        i = len(p) - 1
+        while i >= 0 and p[i] == 0xFF:
+            i -= 1
+        smax = bytes(p[: i] + bytes([p[i] + 1])) if i >= 0 else None
+    return smin, smax
 
 LINEAGE_SCHEMA = pa.schema([
     ("stripe", pa.int64()),
@@ -229,13 +254,20 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
                 frames = B.encode_cell_fragments(arr, stripe_bytes,
                                                  post=spec.post)
                 ms = (time.perf_counter() - t0) * 1e3
+                # zone stats for the single cell (on fragment 0) so a
+                # zone_filter on this column never wrongly prunes the stripe
+                v = arr[0].as_py()
+                raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                smin, smax = _zone_str_bounds(raw, raw)
                 cell_bytes = arr.nbytes
                 left = cell_bytes
                 for fi, blk in enumerate(frames):
                     piece = min(stripe_bytes, left)
                     left -= piece
                     rows_out.append((stripe, name, "frag", fi, 1,
-                                     piece, len(blk), None, None, blk))
+                                     piece, len(blk), None, None,
+                                     smin if fi == 0 else None,
+                                     smax if fi == 0 else None, blk))
                     lineage.append((stripe, name, "frag", 1,
                                     piece, len(blk), ms / len(frames)))
                     total_out += len(blk)
@@ -246,12 +278,19 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
             ms = (time.perf_counter() - t0) * 1e3
             info = B.block_info(blk)
             bytes_in = arr.nbytes
-            vmin = vmax = None
-            if pa.types.is_integer(arr.type) and len(arr) - arr.null_count:
-                mm = pc.min_max(arr)
-                vmin, vmax = mm["min"].as_py(), mm["max"].as_py()
+            vmin = vmax = smin = smax = None
+            if len(arr) - arr.null_count:
+                if pa.types.is_integer(arr.type):
+                    mm = pc.min_max(arr)
+                    vmin, vmax = mm["min"].as_py(), mm["max"].as_py()
+                elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+                    # byte-order min/max (matches Spark's UTF8String/binary
+                    # comparison), then parquet-style truncation
+                    mm = pc.min_max(arr.cast(pa.binary()))
+                    smin, smax = _zone_str_bounds(mm["min"].as_py(),
+                                                  mm["max"].as_py())
             rows_out.append((stripe, name, info["codec"], -1, len(arr),
-                             bytes_in, len(blk), vmin, vmax, blk))
+                             bytes_in, len(blk), vmin, vmax, smin, smax, blk))
             lineage.append((stripe, name, info["codec"], len(arr),
                             bytes_in, len(blk), ms))
             total_in += bytes_in
@@ -467,11 +506,31 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
     blocks_df = spark.read.parquet(os.path.join(warehouse, "blocks"))
     if zone_filter is not None:
         zcol, lo, hi = zone_filter
-        live = (blocks_df
-                .filter((F.col("column") == zcol)
-                        & F.col("vmin").isNotNull()
-                        & (F.col("vmax") >= F.lit(lo))
-                        & (F.col("vmin") <= F.lit(hi)))
+        if zcol not in all_cols:
+            raise KeyError(f"zone_filter column {zcol!r} not in plan "
+                           f"columns {all_cols}")
+        ztype = next(f.dataType.simpleString() for f in full_schema.fields
+                     if f.name == zcol)
+        # typed dispatch — a column without zone maps must fail LOUDLY, not
+        # silently prune every stripe (the round-2 advice item)
+        if ztype in ("tinyint", "smallint", "int", "bigint"):
+            overlap = (F.col("vmin").isNotNull()
+                       & (F.col("vmax") >= F.lit(int(lo)))
+                       & (F.col("vmin") <= F.lit(int(hi))))
+        elif ztype in ("string", "binary"):
+            lob = lo.encode("utf-8") if isinstance(lo, str) else bytes(lo)
+            hib = hi.encode("utf-8") if isinstance(hi, str) else bytes(hi)
+            # truncated bounds only WIDEN the kept set (smin <= true min;
+            # smax >= true max, null smax = unbounded above)
+            overlap = (F.col("smin").isNotNull()
+                       & (F.col("smax").isNull()
+                          | (F.col("smax") >= F.lit(lob)))
+                       & (F.col("smin") <= F.lit(hib)))
+        else:
+            raise TypeError(
+                f"zone_filter on {zcol!r}: no zone maps for type {ztype} "
+                f"(integer and string/binary columns carry block statistics)")
+        live = (blocks_df.filter((F.col("column") == zcol) & overlap)
                 .select("bucket", "stripe"))
         blocks_df = blocks_df.join(F.broadcast(live.distinct()),
                                    ["bucket", "stripe"], "left_semi")

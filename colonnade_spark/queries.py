@@ -225,6 +225,37 @@ FROM documents GROUP BY source, lang
 """
 
 
+def q_zone_decode_strings(spark, sf_dir):
+    """End-to-end zone-map pruning on a STRING column: encode a bounded
+    documents slice clustered by lang, decode with a string zone_filter
+    (parquet-style truncated smin/smax prune whole stripes), apply the exact
+    residual predicate.  Oracle = the same filter in plain SQL — zone maps
+    must be invisible to correctness."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from . import engine
+    from .plan import plan
+
+    ensure_shipped(spark)
+    docs = (_read(spark, sf_dir, "documents").filter("doc_id < 3000")
+            .select("doc_id", "lang", "text"))
+    p = (plan().headed("doc_id").headed("lang").headed("text")
+         .with_keys("doc_id").with_cluster("lang", "doc_id"))
+    wh = tempfile.mkdtemp(prefix="colonnade_zone_")
+    engine.encode_table(spark, docs, p, wh, n_buckets=2,
+                        stripe_bytes=64 << 10, mode="overwrite",
+                        input_token="zone_query")
+    dec = engine.decode_table(spark, wh, zone_filter=("lang", "en", "es"))
+    return (dec.filter("lang between 'en' and 'es'")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang"))
+
+
+SQL_ZONE_DECODE = ("SELECT doc_id, lang FROM documents "
+                   "WHERE doc_id < 3000 AND lang BETWEEN 'en' AND 'es'")
+
+
 def q_dedup_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -897,6 +928,8 @@ def _raw_registry() -> dict:
         # multi-block cells: every cell > the fragment cap round-trips
         # through encode_cell_fragments/decode_cell_fragments
         "rt_giant_cell": (q_rt_giant_cell, SQL_GIANT_CELL),
+        # string zone maps: stripe pruning + residual predicate == plain SQL
+        "zone_decode_strings": (q_zone_decode_strings, SQL_ZONE_DECODE),
         # stats & combinators
         "stats_sizecolumns": (q_stats_sizecolumns, SQL_STATS),
         "plan_combinators": (q_plan_combinators, SQL_COMBINATORS),

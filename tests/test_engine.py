@@ -218,6 +218,65 @@ def test_decode_column_subset_and_zone_pruning(spark, tmp_path):
     assert both.columns == ["v"] and 0 < both.count() <= 1000
 
 
+def test_string_zone_maps_prune_and_validate(spark, tmp_path):
+    """String zone maps (parquet-style truncated min/max on UTF-8 bytes):
+    a zone_filter on a clustered string column prunes stripes; truncation
+    only widens the kept set; unsupported/unknown columns fail loudly."""
+    import pytest
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    rows = [(i, langs[i // 600], f"key{i:06d}" + "z" * 40, f"body {i} " * 20)
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, lang string, skey string, s string")
+    from colonnade_spark.plan import plan as mkplan
+    p = (mkplan().headed("k").headed("lang").headed("skey").headed("s")
+         .with_keys("k").with_cluster("lang", "k"))
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, df, p, wh, n_buckets=2, stripe_bytes=24 << 10,
+                        input_token="szone")
+    total = engine.decode_table(spark, wh).count()
+    assert total == 3000
+    # prune on the short clustered column
+    pruned = engine.decode_table(spark, wh, zone_filter=("lang", "en", "es"))
+    got = pruned.collect()
+    assert {r["lang"] for r in got} >= {"en", "es"}          # superset holds
+    assert len(got) < total, "no stripes were pruned"
+    exact = pruned.filter("lang between 'en' and 'es'").count()
+    assert exact == 1200
+    # prune on the LONG key column (truncated at 16 bytes: 'key000600zzzzzzz')
+    pk = engine.decode_table(spark, wh, zone_filter=("skey", "key000600",
+                                                     "key000800"))
+    vals = {r["k"] for r in pk.collect()}
+    assert set(range(600, 801)) <= vals and len(vals) < 3000
+    # loud failures: unknown column / type without zone maps
+    with pytest.raises(KeyError, match="zone_filter"):
+        engine.decode_table(spark, wh, zone_filter=("nope", 0, 1))
+    rows_f = [(i, float(i)) for i in range(100)]
+    dff = spark.createDataFrame(rows_f, "k long, x double")
+    pf = mkplan().headed("k").headed("x").with_keys("k")
+    whf = str(tmp_path / "whf")
+    engine.encode_table(spark, dff, pf, whf, n_buckets=1, input_token="fz")
+    with pytest.raises(TypeError, match="no zone maps"):
+        engine.decode_table(spark, whf, zone_filter=("x", 0.0, 1.0))
+
+
+def test_zone_maps_cover_fragmented_giant_cells(spark, tmp_path):
+    """A stripe whose zone column went through the fragment path must still
+    carry stats — a matching giant cell is never wrongly pruned."""
+    big = "mmm-giant-" + "y" * (1 << 20)
+    rows = [(1, big)] + [(i, f"aaa-small-{i}") for i in range(2, 40)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    from colonnade_spark.plan import plan as mkplan
+    p = mkplan().headed("k").headed("s").with_keys("k").with_cluster("s")
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, df, p, wh, n_buckets=1, stripe_bytes=64 << 10,
+                        input_token="gz")
+    out = engine.decode_table(spark, wh, zone_filter=("s", "mmm", "zzz"))
+    ks = {r["k"] for r in out.collect()}
+    assert 1 in ks                        # the giant cell survived pruning
+    assert len(ks) < 39                   # the small-cell stripes pruned
+
+
 def test_skew_salting_spreads_giant_repo(spark, tmp_path):
     """SURVEY §4.2 skew handling: one repo holding ~90% of all bytes must
     fan out over multiple buckets (salt ∝ size), while small repos stay
