@@ -405,8 +405,12 @@ FROM documents
 def q_doc_winnow(spark, sf_dir):
     """Winnowing fingerprints (rolling-hash document fingerprinting,
     SIGMOD'03): bounded, hashable output — fingerprint count plus an
-    order-insensitive xor digest of the fingerprint set (rows-only: the
-    rolling hash isn't SQL-expressible)."""
+    order-insensitive xor digest of the fingerprint set.
+
+    Oracle-checked (round-3 promotion): SQL_WINNOW re-implements the exact
+    pipeline — UTF-8 byte shingles at shingle=5, splitmix64 finalizer in
+    mod-2^64 UHUGEINT arithmetic, window-8 minima, distinct, >>1 — in pure
+    DuckDB SQL, so the numpy kernel is checked value-for-value."""
     from pyspark.sql import functions as F
 
     from .textops import with_winnow_fingerprints
@@ -417,6 +421,53 @@ def q_doc_winnow(spark, sf_dir):
     return fp.select(F.col("doc_id").cast("bigint"),
                      F.size("fps").cast("bigint").alias("n_fps"),
                      agg.alias("fp_xor"))
+
+
+# splitmix64 constants (textops._mix64) and mod-2^64 arithmetic in UHUGEINT
+_SM1, _SM2, _SM3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+_M64_SQL = 1 << 64
+
+SQL_WINNOW = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+  FROM documents),
+bytes AS (  -- UTF-8 byte values via hex-pair parse (no byte accessor in SQL)
+  SELECT doc_id, len,
+    list_transform(range(1, len + 1), i ->
+      CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
+         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17
+         AS UBIGINT)) AS bs
+  FROM b),
+raws AS (  -- 5-byte little-endian rolling shingle keys (textops._shingle_keys)
+  SELECT doc_id, greatest(len - 4, 1) AS cnt,
+    CASE WHEN len >= 5 THEN
+      list_transform(range(1, len - 4 + 1), p ->
+        bs[p] + (bs[p+1] << 8) + (bs[p+2] << 16) + (bs[p+3] << 24) + (bs[p+4] << 32))
+    ELSE
+      [coalesce(CAST(list_aggregate(
+         list_transform(range(1, least(len, 4) + 1), j -> bs[j] << CAST(8*(j-1) AS UBIGINT)),
+         'sum') AS UBIGINT), CAST(0 AS UBIGINT))]
+    END AS raw
+  FROM bytes),
+m1 AS (SELECT doc_id, cnt, list_transform(raw, x -> CAST((CAST(x AS UHUGEINT) + {_SM1}) % {_M64_SQL} AS UBIGINT)) AS ks FROM raws),
+m2 AS (SELECT doc_id, cnt, list_transform(ks, x -> xor(x, x >> 30)) AS ks FROM m1),
+m3 AS (SELECT doc_id, cnt, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM2}) % {_M64_SQL} AS UBIGINT)) AS ks FROM m2),
+m4 AS (SELECT doc_id, cnt, list_transform(ks, x -> xor(x, x >> 27)) AS ks FROM m3),
+m5 AS (SELECT doc_id, cnt, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM3}) % {_M64_SQL} AS UBIGINT)) AS ks FROM m4),
+m6 AS (SELECT doc_id, cnt, list_transform(ks, x -> xor(x, x >> 31)) AS ks FROM m5),
+picks AS (  -- window-8 minima, distinct (short docs: segment min)
+  SELECT doc_id,
+    CASE WHEN cnt <= 8 THEN [list_min(ks)]
+    ELSE list_distinct(list_transform(range(1, cnt - 8 + 2), p ->
+           list_min(ks[p : p + 7])))
+    END AS pk
+  FROM m6),
+fps AS (SELECT doc_id, list_transform(pk, x -> CAST(x >> 1 AS BIGINT)) AS f FROM picks)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(f) AS BIGINT) AS n_fps,
+       CAST(coalesce(list_aggregate(f, 'bit_xor'), 0) AS BIGINT) AS fp_xor
+FROM fps
+"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -946,7 +997,7 @@ def _raw_registry() -> dict:
         "doc_quality": (q_doc_quality, SQL_QUALITY),
         "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
-        "doc_winnow": (q_doc_winnow, None),            # rolling hash → rows-only
+        "doc_winnow": (q_doc_winnow, SQL_WINNOW),      # SQL re-impl oracle
         "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "ann_topk": (q_ann_topk, SQL_ANN),
         "ann_lsh_topk": (q_ann_lsh_topk, None),        # approximate → rows-only

@@ -429,18 +429,82 @@ def winnow_batch(texts, shingle: int = 5, window: int = 8) -> list:
     hashes, dedup — a position-robust fingerprint set whose size scales with
     document length / window.
 
-    Vectorized: the rolling hashes come from the shared concatenated-buffer
-    kernel; the per-window minimum is a strided-view ``min(axis=1)``."""
+    Fully batch-vectorized (no per-document numpy dispatch; the round-2
+    per-document loop paid ~10 dispatches/doc and lost cache locality):
+
+    1. Sliding-window minima over the WHOLE concatenated key buffer in
+       O(log2(window)) contiguous elementwise-min passes (the sparse-table
+       doubling trick: m_{j+1}[p] = min(m_j[p], m_j[p+2^j]); window min =
+       min of two overlapping 2^k spans) — SIMD-friendly, instead of the
+       ``window`` strided passes of a ``sliding_window_view().min(axis=1)``.
+    2. Document boundaries are masked out of the valid window-start set
+       (same boundary-mask technique as ``_shingle_keys``).
+    3. Adjacent equal minima are run-compressed BEFORE deduplication
+       (overlapping windows repeat their min ~window times), so the final
+       per-document unique-sort (one lexsort + adjacent diff) touches ~1/8
+       of the windows."""
     keys, starts, counts = _shingle_keys(texts, shingle)
-    out = []
-    for i in range(len(texts)):
-        k = keys[starts[i]: starts[i] + counts[i]]
-        if k.size <= window:
-            picks = np.array([k.min()]) if k.size else np.zeros(0, np.uint64)
+    n = len(texts)
+    if n == 0:
+        return []
+    ends = starts + counts
+    # short documents (<= window keys): the pick is the segment minimum
+    seg_min = np.minimum.reduceat(keys, starts)
+    is_long = counts > window
+    nk = keys.size - window + 1
+    if is_long.any() and nk > 0:
+        # sparse-table doubling: wmin[p] = min over keys[p : p+window]
+        m, step = keys, 1
+        while step * 2 <= window:
+            m = np.minimum(m[: m.size - step], m[step:])
+            step *= 2
+        # m[p] = min keys[p:p+step]; two overlapping spans cover the window
+        wmin = np.minimum(m[:nk], m[window - step: window - step + nk])
+        # valid window starts for doc i: starts[i] .. ends[i]-window; mark
+        # the per-doc trailing positions (clipped to the doc) invalid
+        valid = np.ones(nk, dtype=bool)
+        # long docs: last window-1 positions invalid; short docs (counts <=
+        # window, INCLUDING counts == window whose one full window equals
+        # the segment min handled by seg_min): whole segment invalid
+        lo_bad = np.where(is_long, ends - window + 1, starts)
+        len_bad = ends - lo_bad
+        boff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(len_bad, out=boff[1:])
+        bad = (np.repeat(lo_bad, len_bad)
+               + np.arange(int(boff[-1]), dtype=np.int64)
+               - np.repeat(boff[:-1], len_bad))
+        bad = bad[bad < nk]
+        valid[bad] = False
+        # run-compress adjacent equal minima, forcing each long doc's first
+        # valid window so a run crossing a doc boundary is not lost
+        change = np.empty(nk, dtype=bool)
+        change[0] = True
+        np.not_equal(wmin[1:], wmin[:-1], out=change[1:])
+        cand = valid & change
+        cand[starts[is_long]] = True
+        pos = np.flatnonzero(cand)
+        vals = wmin[pos]
+        doc_of = np.searchsorted(starts, pos, side="right") - 1
+        # per-doc sorted unique via one lexsort + adjacent diff
+        order = np.lexsort((vals, doc_of))
+        sv, sd = vals[order], doc_of[order]
+        keep = np.ones(sv.size, dtype=bool)
+        keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        uniq_vals = sv[keep]
+        uniq_counts = np.bincount(sd[keep], minlength=n)
+    else:
+        uniq_vals = np.zeros(0, dtype=np.uint64)
+        uniq_counts = np.zeros(n, dtype=np.int64)
+    signed = ((uniq_vals >> np.uint64(1)).astype(np.int64)).tolist()
+    short_signed = (seg_min >> np.uint64(1)).astype(np.int64)
+    out, at = [], 0
+    for i in range(n):                           # list slicing only — no numpy
+        if is_long[i]:
+            c = int(uniq_counts[i])
+            out.append(signed[at: at + c])
+            at += c
         else:
-            sw = np.lib.stride_tricks.sliding_window_view(k, window)
-            picks = np.unique(sw.min(axis=1))
-        out.append(((picks >> np.uint64(1)).astype(np.int64)).tolist())
+            out.append([int(short_signed[i])])
     return out
 
 
