@@ -154,6 +154,22 @@ def minhash_signature_batch(texts, n_hashes: int = 64, shingle: int = 5) -> list
     return [row.tolist() for row in out]
 
 
+def _materialize(df, path: str | None = None):
+    """Write a derived table to parquet ONCE and read it back — the
+    100-TB-correct form of ``.cache()`` for signature tables: every
+    downstream consumer scans the materialized table instead of re-running
+    the Python signature kernel per consumer or holding executor memory
+    hostage.  ``path`` points into a warehouse on a real deployment; the
+    default is a session temp dir (same layout)."""
+    import tempfile
+
+    spark = df.sparkSession
+    if path is None:
+        path = tempfile.mkdtemp(prefix="colonnade_sigs_")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _spread(df):
     """Ensure the signature UDF gets enough tasks to use the cluster: a
     single small parquet file otherwise serializes the whole kernel in one
@@ -180,19 +196,28 @@ def with_minhash(df, text_col: str, sig_col: str = "sig",
 def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
                            threshold: float = 0.8, n_hashes: int = 64,
                            bands: int = 16, shingle: int = 5,
-                           max_bucket: int = 200):
+                           max_bucket: int = 200, sig_df=None,
+                           sig_path: str | None = None):
     """Candidate pairs sharing >=1 LSH band, kept when the signature-estimated
-    Jaccard >= threshold.  Returns (id_a, id_b, est_jaccard)."""
+    Jaccard >= threshold.  Returns (id_a, id_b, est_jaccard).
+
+    Signatures are MATERIALIZED once (parquet; ``sig_path`` targets the
+    warehouse at scale) rather than ``.cache()``-d: every downstream
+    consumer (bucket sizes, both join sides, the estimate join) scans the
+    signature table instead of re-running the Python kernel or pinning
+    executor memory.  Callers that already have a signature table pass it
+    via ``sig_df`` (columns: id_col, sig) and skip the kernel entirely."""
     from pyspark.sql import functions as F
 
     rows = n_hashes // bands
-    # cached: every downstream consumer (bucket sizes, both join sides, the
-    # estimate join) derives from the signatures — uncached, Spark recomputes
-    # the Python kernel once per consumer.  At 100 TB the equivalent is
-    # materializing signatures to storage once and joining from there.
-    sigged = with_minhash(df.select(id_col, text_col), text_col,
-                          n_hashes=n_hashes, shingle=shingle) \
-        .select(id_col, "sig").cache()
+    if sig_df is not None:
+        sigged = sig_df.select(id_col, "sig")
+    else:
+        sigged = _materialize(
+            with_minhash(df.select(id_col, text_col), text_col,
+                         n_hashes=n_hashes, shingle=shingle)
+            .select(id_col, "sig"),
+            sig_path)
     band_arr = F.array(*[
         F.hash(F.slice("sig", i * rows + 1, rows)).cast("long").alias(f"b{i}")
         for i in range(bands)])
@@ -284,9 +309,12 @@ def simhash_pairs_from_sigs(df_sigged, id_col: str, sig_col: str = "simhash",
     chunks = F.array(*[
         F.shiftright(F.col(sig_col), i * 16).bitwiseAND(F.lit(0xFFFF))
          .cast("int").alias(f"c{i}") for i in range(4)])
+    # no cache: callers materialize the signature table (simhash_near_dup_
+    # pairs), so re-deriving the 4-way chunk explode per consumer is a cheap
+    # JVM-side scan of the materialized parquet, not a Python recompute
     exploded = df_sigged.select(
         F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
-        F.posexplode(chunks).alias("band", "bh")).cache()
+        F.posexplode(chunks).alias("band", "bh"))
     sizes = exploded.groupBy("band", "bh").agg(F.count("*").alias("bn"))
     ok = sizes.filter(F.col("bn").between(2, max_bucket))
     over = sizes.filter(F.col("bn") > max_bucket)
@@ -330,11 +358,18 @@ def simhash_pairs_from_sigs(df_sigged, id_col: str, sig_col: str = "simhash",
 
 def simhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
                            max_hamming: int = 6, shingle: int = 4,
-                           max_bucket: int = 10_000):
+                           max_bucket: int = 10_000, sig_df=None,
+                           sig_path: str | None = None):
     """Near-dup pairs by SimHash over text: signature UDF + recursive-split
-    bucket join (see :func:`simhash_pairs_from_sigs`)."""
-    sigged = with_simhash(df.select(id_col, text_col), text_col, shingle=shingle)
-    return simhash_pairs_from_sigs(sigged, id_col, "simhash",
+    bucket join (see :func:`simhash_pairs_from_sigs`).  Signatures are
+    materialized once (``sig_path`` → warehouse at scale; ``sig_df`` skips
+    the kernel for precomputed tables) — no ``.cache()`` in the scale path."""
+    if sig_df is None:
+        sig_df = _materialize(
+            with_simhash(df.select(id_col, text_col), text_col,
+                         shingle=shingle).select(id_col, "simhash"),
+            sig_path)
+    return simhash_pairs_from_sigs(sig_df, id_col, "simhash",
                                    max_hamming=max_hamming,
                                    max_bucket=max_bucket)
 
@@ -379,17 +414,18 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
     for _ in range(max_iters):
         nbr_min = (edges.join(labels, edges.v == labels.id)
                    .groupBy("u").agg(F.min("comp").alias("nbr_comp")))
-        # localCheckpoint = materialize AND truncate lineage (cache alone
-        # keeps the ever-growing join tree alive in the plan)
-        new_labels = (labels.join(nbr_min, labels.id == nbr_min.u, "left")
-                      .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
-                              .alias("comp"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter("n.comp <> o.comp").limit(1).count())
+        # one join per round: carry old_comp alongside so the fixed-point
+        # check is a local scan of the checkpointed result, not a second
+        # new⋈old shuffle join.  localCheckpoint = materialize AND truncate
+        # lineage (cache alone keeps the growing join tree in the plan).
+        upd = (labels.join(nbr_min, labels.id == nbr_min.u, "left")
+               .select("id", F.col("comp").alias("old_comp"),
+                       F.least("comp", F.coalesce("nbr_comp", "comp"))
+                       .alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = upd.filter("comp <> old_comp").limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = upd.select("id", "comp")
         if changed == 0:
             converged = True
             break
