@@ -35,10 +35,19 @@ from .plan import EncodePlan
 
 @dataclass(frozen=True)
 class Cornice:
-    label: str
+    label: Optional[str]
     children: tuple = ()     # tuple[Cornice | EncodePlan]
 
     # -- structure ----------------------------------------------------------
+    def __add__(self, other: "Cornice") -> "Cornice":
+        """Monoid append (the reference's Semigroup instance: sibling caps
+        concatenate at the SAME tier — ``CorniceCap v1 <> CorniceCap v2``,
+        Encode.hs:631-637 — e.g. the blaze doctest ``mconcat [cap "Personal"
+        ..., cap "Work" ...]``).  The unlabeled root is a pure forest node:
+        it renders no header tier of its own."""
+        a = self.children if self.label is None else (self,)
+        b = other.children if other.label is None else (other,)
+        return Cornice(None, tuple(a) + tuple(b))
     def discard(self) -> EncodePlan:
         """Drop all super-headers, keep the flat plan."""
         out = None
@@ -105,7 +114,7 @@ class Cornice:
                 yield ch
 
     def _walk(self, path):
-        p = path + (self.label,)
+        p = path + (self.label,) if self.label is not None else path
         for ch in self.children:
             if isinstance(ch, Cornice):
                 yield from ch._walk(p)

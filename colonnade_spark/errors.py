@@ -69,10 +69,17 @@ def validate_blocks(spark, warehouse: str, expected_cols: list | None = None):
         def emit(kind, column, detail):
             rows.append((bucket, stripe, column, kind, str(detail)[:200]))
 
-        for kind, col, detail in resolve_stripe(list(pdf["column"]), expected_cols):
+        # fragment rows (frag >= 0) are one LOGICAL block per column: a
+        # multi-block cell (blocks.encode_cell_fragments) is not a duplicate
+        frag_mask = pdf["frag"] >= 0 if "frag" in pdf.columns \
+            else pd.Series(False, index=pdf.index)
+        whole = pdf[~frag_mask]
+        fragged = pdf[frag_mask]
+        present = list(whole["column"]) + sorted(set(fragged["column"]))
+        for kind, col, detail in resolve_stripe(present, expected_cols):
             emit(kind, col, detail)
         n_by_col = {}
-        for _, r in pdf.iterrows():
+        for _, r in whole.iterrows():
             try:
                 arr = B.decode_block(r["block"])
                 n_by_col[r["column"]] = len(arr)
@@ -86,6 +93,15 @@ def validate_blocks(spark, warehouse: str, expected_cols: list | None = None):
                 emit(kind, r["column"], msg)
             except Exception as e:  # decode bug → positioned, not thrown
                 emit(KIND_DECODE, r["column"], repr(e))
+        for col, grp in fragged.groupby("column"):
+            try:
+                arr = B.decode_cell_fragments(list(grp["block"]))
+                n_by_col[col] = len(arr)
+            except B.BlockError as e:
+                msg = str(e)
+                emit(KIND_CRC if "crc" in msg else KIND_DECODE, col, msg)
+            except Exception as e:
+                emit(KIND_DECODE, col, repr(e))
         if len(set(n_by_col.values())) > 1:
             emit(KIND_SIZE, "*", f"sibling blocks disagree on rows: {n_by_col}")
         return pd.DataFrame(rows, columns=["bucket", "stripe", "column",

@@ -42,8 +42,13 @@ def _rows(df, limit: int):
     return [[_cell(r[c]) for c in df.columns] for r in df.limit(limit).collect()]
 
 
-def _tr(cells: list, tag: str, indent: str, attrs: dict | None = None) -> list:
-    lines = [f"{indent}<tr>"]
+def _attr(a: str | None) -> str:
+    return f" {a}" if a else ""
+
+
+def _tr(cells: list, tag: str, indent: str, attrs: dict | None = None,
+        tr_attr: str | None = None) -> list:
+    lines = [f"{indent}<tr{_attr(tr_attr)}>"]
     attrs = attrs or {}
     for i, c in enumerate(cells):
         a = attrs.get(i, "")
@@ -74,34 +79,57 @@ def _colspan_or_hide(span: int) -> str:
 
 
 def html_capped(cornice, df, limit: int = 20, widths: dict | None = None,
-                table_attrs: str = "") -> str:
+                table_attrs: str = "", fascia: list | None = None,
+                cell_attrs=None) -> str:
     """``encodeCappedTable``: tiered headers with colspans from the Cornice
     annotation.  ``widths`` (column -> display width, e.g. from
     ``annotate_finely``) marks zero-width columns: their header cells and
-    body cells render with ``display:none`` (setColspanOrHide)."""
+    body cells render with ``display:none`` (setColspanOrHide).
+
+    ``fascia`` is the per-header-row attribute stack (the ``Fascia p r`` of
+    /root/reference/colonnade/src/Colonnade/Encode.hs:592-594: one ``r`` per
+    ``<thead>`` tier, cap tiers first, the leaf/base tier last — the blaze
+    doctest ``FasciaCap (class_ "category") (FasciaBase (class_
+    "subcategory"))``, Blaze/Colonnade.hs:338-352); each entry lands on its
+    tier's ``<tr>``.  A shorter list leaves the remaining tiers bare.
+
+    ``cell_attrs`` is the per-cell attribute hook (the blaze ``Cell`` of
+    Blaze/Colonnade.hs:263-266 — attributes applied to the wrapping
+    ``<td>``): a callable ``(column_name, raw_value) -> str | None``."""
     ann = cornice.annotate()
     flat = cornice.discard()
     proj = flat.project(df).select(*flat.column_names)
     widths = widths or {}
+    fascia = fascia or []
     hidden = {i for i, c in enumerate(flat.column_names)
               if widths.get(c, 1) < 1}
 
     attrs = f" {table_attrs}" if table_attrs else ""
     lines = [f"<table{attrs}>", "    <thead>"]
     # super-header tiers: colspan per annotated node (zero-width → hidden)
-    for tier in ann.header_rows():
-        lines.append("        <tr>")
+    tiers = ann.header_rows()
+    for ti, tier in enumerate(tiers):
+        tr_attr = fascia[ti] if ti < len(fascia) else None
+        lines.append(f"        <tr{_attr(tr_attr)}>")
         for lbl, span in tier:
             lines.append(f"            <th{_colspan_or_hide(span)}>"
                          f"{_cell(lbl)}</th>")
         lines.append("        </tr>")
-    # leaf header tier: the column names themselves
+    # leaf header tier: the column names themselves (the Fascia base)
+    leaf_tr = fascia[len(tiers)] if len(tiers) < len(fascia) else None
     leaf_attrs = {i: ' style="display:none;"' for i in hidden}
     lines += _tr([_cell(c) for c in flat.column_names], "th", "        ",
-                 leaf_attrs)
+                 leaf_attrs, tr_attr=leaf_tr)
     lines += ["    </thead>", "    <tbody>"]
-    for row in _rows(proj, limit):
-        lines += _tr(row, "td", "        ", leaf_attrs)
+    cols = flat.column_names
+    for r in proj.limit(limit).collect():
+        row_attrs = dict(leaf_attrs)
+        if cell_attrs is not None:
+            for i, c in enumerate(cols):
+                extra = cell_attrs(c, r[c])
+                if extra:
+                    row_attrs[i] = row_attrs.get(i, "") + f" {extra}"
+        lines += _tr([_cell(r[c]) for c in cols], "td", "        ", row_attrs)
     lines += ["    </tbody>", "</table>"]
     return "\n".join(lines)
 

@@ -98,3 +98,37 @@ def test_html_sectioned_group_dividers(spark):
     b_pos = out.index('<td colspan="1">b</td>')
     assert a_pos < out.index("<td>1</td>") < b_pos
     assert b_pos < out.index("<td>2</td>")
+
+
+def test_html_capped_fascia_and_cell_attrs(spark, employees):
+    """Mirrors the blaze fascia doctest (Blaze/Colonnade.hs:338-360):
+    FasciaCap "category" (FasciaBase "subcategory") puts one attribute on
+    each <thead> tier's <tr>, and the Cell hook (Blaze/Colonnade.hs:263-266)
+    puts per-value attributes on the wrapping <td>."""
+    from colonnade_spark.cornice import cap
+    from colonnade_spark.html import html_capped
+    from colonnade_spark.plan import plan
+
+    personal = plan().headed("Name").headed("Age")
+    work = plan().headed("Dept")
+    cor = cap("Personal", personal) + cap("Work", work)
+
+    def dept_class(col, value):
+        return f'class="{str(value).lower()}"' if col == "Dept" else None
+
+    out = html_capped(cor, employees.limit(1),
+                      fascia=['class="category"', 'class="subcategory"'],
+                      cell_attrs=dept_class)
+    assert '<tr class="category">' in out
+    assert '<tr class="subcategory">' in out
+    assert '<th colspan="2">Personal</th>' in out
+    assert '<th colspan="1">Work</th>' in out
+    assert '<td class="sales">Sales</td>' in out
+    assert "<td>Thaddeus</td>" in out           # unhooked cells stay bare
+    # a short fascia leaves the remaining tiers bare
+    out2 = html_capped(cor, employees.limit(1), fascia=['class="category"'])
+    assert '<tr class="category">' in out2 and '<tr>' in out2
+    # cell attrs compose with setColspanOrHide hiding
+    out3 = html_capped(cor, employees.limit(1), widths={"Dept": 0},
+                       cell_attrs=dept_class)
+    assert 'style="display:none;" class="sales">Sales</td>' in out3
