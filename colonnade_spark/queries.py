@@ -719,7 +719,6 @@ def q_codec_selection(spark, sf_dir):
              pa.array([agg[k]["bytes_out"] for k in keys], type=pa.int64())],
             names=["column", "codec", "bytes_in", "bytes_out"])
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     df = _read(spark, sf_dir, "documents")
@@ -728,14 +727,14 @@ def q_codec_selection(spark, sf_dir):
                 .groupBy("column", "codec")
                 .agg(F.sum("bytes_in").alias("cb_in"),
                      F.sum("bytes_out").alias("cb_out")))
-    w = Window.partitionBy("column").orderBy(F.desc("cb_in"), F.asc("codec"))
-    winner = (partials.withColumn("rn", F.row_number().over(w))
-              .filter("rn = 1").select("column", "codec"))
-    totals = (partials.groupBy("column")
-              .agg(F.sum("cb_in").cast("bigint").alias("bytes_in"),
-                   F.sum("cb_out").cast("bigint").alias("bytes_out")))
-    return winner.join(totals, "column").select(
-        "column", "codec", "bytes_in", "bytes_out")
+    # winner + totals in ONE aggregation (no window, no self-join): the
+    # majority-by-bytes rule "desc cb_in, asc codec" is min_by over the
+    # struct (-cb_in, codec)
+    return (partials.groupBy("column")
+            .agg(F.expr("min_by(codec, struct(-cb_in, codec))").alias("codec"),
+                 F.sum("cb_in").cast("bigint").alias("bytes_in"),
+                 F.sum("cb_out").cast("bigint").alias("bytes_out"))
+            .select("column", "codec", "bytes_in", "bytes_out"))
 
 
 def q_dedup_near_cluster(spark, sf_dir):
