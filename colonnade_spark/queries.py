@@ -85,15 +85,15 @@ def q_rt_giant_cell(spark, sf_dir):
     """Round-trip cells through the multi-block-cell path (a cell larger
     than the block cap splits across fragment blocks — the reference's
     cell-spans-chunks continuation, siphon/src/Siphon.hs:612-616): each
-    row's 30x-repeated text exceeds the 4 KiB fragment cap, so every cell
-    goes through encode_cell_fragments/decode_cell_fragments.  Identity
-    oracle = the isomorphism property."""
+    row's 40x-repeated text exceeds the 4 KiB fragment cap, so every cell
+    goes through encode_cell_fragments/decode_cell_fragments (500 cells x
+    ~5 fragments).  Identity oracle = the isomorphism property."""
     from pyspark.sql import functions as F
 
     ensure_shipped(spark)
     df = (_read(spark, sf_dir, "documents")
-          .filter("doc_id < 2000")
-          .select("doc_id", F.repeat(F.col("text"), 30).alias("big")))
+          .filter("doc_id < 500")
+          .select("doc_id", F.repeat(F.col("text"), 40).alias("big")))
 
     cap = 4 << 10
 
@@ -118,8 +118,8 @@ def q_rt_giant_cell(spark, sf_dir):
     return df.mapInArrow(rt, df.schema)
 
 
-SQL_GIANT_CELL = ("SELECT doc_id, repeat(text, 30) AS big FROM documents "
-                  "WHERE doc_id < 2000")
+SQL_GIANT_CELL = ("SELECT doc_id, repeat(text, 40) AS big FROM documents "
+                  "WHERE doc_id < 500")
 
 
 def q_stats_sizecolumns(spark, sf_dir):
