@@ -154,6 +154,44 @@ def html_definition_table(df, table_attrs: str = "") -> str:
     return "\n".join(lines)
 
 
+def anchor_cell(href_fn, content_fn=None):
+    """yesod ``anchorCell``
+    (/root/reference/yesod-colonnade/src/Yesod/Colonnade.hs:78-83): build a
+    cell renderer producing ``<a href="...">content</a>``.  ``href_fn`` /
+    ``content_fn`` take ``(column_name, raw_value)``; the result plugs into
+    :func:`html_list_items`'s ``render_value`` (or any per-cell hook)."""
+    def render(col, value):
+        href = escape_html(str(href_fn(col, value)))
+        body = _cell(content_fn(col, value)) if content_fn else _cell(value)
+        return f'<a href="{href}">{body}</a>'
+
+    return render
+
+
+def html_list_items(df, wrap_tag: str = "ul", render_value=None,
+                    cell_attrs=None) -> str:
+    """yesod ``encodeListItems`` (Yesod/Colonnade.hs:99-113): ONE row
+    rendered as a wrapped item list — one ``<li>`` per column combining the
+    header with the cell (default ``header: value``), the header/body cell
+    attributes merged onto the ``<li>`` (the reference's ``ha <> ba``).
+    Takes the first row of ``df`` (the reference takes exactly one value).
+
+    ``render_value(column, raw_value) -> html`` overrides the body render —
+    e.g. :func:`anchor_cell`.  ``cell_attrs(column, raw_value) -> str``
+    lands on the ``<li>``."""
+    rows = df.limit(1).collect()
+    lines = [f"<{wrap_tag}>"]
+    if rows:
+        r = rows[0]
+        for c in df.columns:
+            attr = cell_attrs(c, r[c]) if cell_attrs else None
+            body = (render_value(c, r[c]) if render_value
+                    else _cell(r[c]))
+            lines.append(f"    <li{_attr(attr)}>{_cell(c)}: {body}</li>")
+    lines.append(f"</{wrap_tag}>")
+    return "\n".join(lines)
+
+
 def html_sectioned(df, section_col: str, limit: int = 100,
                    table_attrs: str = "") -> str:
     """lucid ``sectioned`` (Lucid/Colonnade.hs:269-292): rows grouped by

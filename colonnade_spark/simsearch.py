@@ -146,6 +146,46 @@ def _train_centroids(sample: np.ndarray, k: int, iters: int = 10,
     return cent
 
 
+def train_centroids_distributed(corpus_df, vec_col: str, dim: int, k: int,
+                                iters: int = 5, seed: int = 0x1BF) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) coarse quantizer: NO data ever
+    reaches the driver — each round is one assignment pass (the existing
+    cell UDF) plus one groupBy(cell, dim) sum, and only the k x dim MODEL
+    state (e.g. 16 x 64 doubles) is collected.  Init is seeded random
+    directions (data-independent, deterministic).  This is the 100-TB form
+    of :func:`_train_centroids`'s bounded-sample collect.
+
+    Note: distributed double summation is order-dependent at the ULP level,
+    so assignments can differ across cluster layouts for borderline
+    vectors — recall properties hold; byte-determinism is the sample
+    trainer's contract, not this one's."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    cent = rng.standard_normal((k, dim))
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    nrm = "sqrt(" + _DOT.format(a="e", b="e") + ")"
+    v = (corpus_df.select(F.expr(_dbl(vec_col)).alias("e"))
+         .select(F.expr(f"transform(e, x -> x / greatest({nrm}, 1e-30))")
+                 .alias("e")))
+    for _ in range(iters):
+        assigned = with_ivf_cell(v, "e", cent, n_probe=1)
+        ex = assigned.select(F.col("cells")[0].alias("cell"),
+                             F.posexplode("e").alias("pos", "val"))
+        rows = (ex.groupBy("cell", "pos")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect())                      # k x dim model rows only
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        live = counts > 0
+        cent[live] = sums[live] / counts[live, None]   # empty cells keep seed
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    return cent
+
+
 def with_ivf_cell(df, vec_col: str, centroids: np.ndarray,
                   n_probe: int = 1, cell_col: str = "cells"):
     """Assign each vector its ``n_probe`` nearest coarse-centroid cell ids
@@ -170,26 +210,35 @@ def with_ivf_cell(df, vec_col: str, centroids: np.ndarray,
 
 def ivf_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
              dim: int, k: int = 5, n_cells: int = 16, n_probe: int = 4,
-             train_n: int = 4096):
-    """IVF ANN top-k: a coarse quantizer (deterministic spherical k-means
-    over a bounded corpus sample) assigns each corpus vector its single
-    nearest cell; a query probes its ``n_probe`` nearest cells and re-ranks
-    exactly (JVM-side cosine) inside them.
+             train_n: int = 4096, train: str = "sample"):
+    """IVF ANN top-k: a coarse quantizer (spherical k-means) assigns each
+    corpus vector its single nearest cell; a query probes its ``n_probe``
+    nearest cells and re-ranks exactly (JVM-side cosine) inside them.
 
-    100-TB shape: training reads a bounded deterministic sample (TopK by
-    id — Catalyst plans TakeOrderedAndProject, no full sort); the corpus is
-    partitioned by cell id once (in a real deployment: written
-    bucketed-by-cell), and a query touches ``n_probe/n_cells`` of the data —
-    the join is an equi-join on the cell id, never a cross join."""
+    ``train="sample"`` (default, byte-deterministic): k-means over a bounded
+    deterministic sample (TopK by id — Catalyst plans TakeOrderedAndProject,
+    no full sort; ``train_n`` rows cross the driver once).
+    ``train="distributed"``: :func:`train_centroids_distributed` — Lloyd
+    rounds as Spark aggregations; only the k x dim centroid model reaches
+    the driver, nothing data-sized (the 100-TB form).
+
+    100-TB shape: the corpus is partitioned by cell id once (in a real
+    deployment: written bucketed-by-cell), and a query touches
+    ``n_probe/n_cells`` of the data — the join is an equi-join on the cell
+    id, never a cross join."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    sample_rows = (corpus_df.select(F.col(id_col).alias("_i"),
-                                    F.expr(_dbl(vec_col)).alias("_e"))
-                   .orderBy("_i").limit(train_n).collect())
-    sample = np.stack([np.asarray(r["_e"], dtype=np.float64)
-                       for r in sample_rows])
-    centroids = _train_centroids(sample, n_cells)
+    if train == "distributed":
+        centroids = train_centroids_distributed(
+            corpus_df.select(F.col(vec_col)), vec_col, dim, n_cells)
+    else:
+        sample_rows = (corpus_df.select(F.col(id_col).alias("_i"),
+                                        F.expr(_dbl(vec_col)).alias("_e"))
+                       .orderBy("_i").limit(train_n).collect())
+        sample = np.stack([np.asarray(r["_e"], dtype=np.float64)
+                           for r in sample_rows])
+        centroids = _train_centroids(sample, n_cells)
 
     c = with_ivf_cell(
         corpus_df.select(F.col(id_col).alias("nid"),

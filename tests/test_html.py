@@ -132,3 +132,24 @@ def test_html_capped_fascia_and_cell_attrs(spark, employees):
     out3 = html_capped(cor, employees.limit(1), widths={"Dept": 0},
                        cell_attrs=dept_class)
     assert 'style="display:none;" class="sales">Sales</td>' in out3
+
+
+def test_html_list_items_and_anchor_cell(employees):
+    """yesod encodeListItems (Yesod/Colonnade.hs:99-113) + anchorCell
+    (:78-83): one row as a wrapped <li> list, header combined with value;
+    anchor_cell renders the body as a link."""
+    from colonnade_spark.html import anchor_cell, html_list_items
+
+    out = html_list_items(employees.select("Name", "Age"))
+    assert out.startswith("<ul>") and out.endswith("</ul>")
+    assert "    <li>Name: Thaddeus</li>" in out
+    assert "    <li>Age: 34</li>" in out
+
+    link = anchor_cell(lambda c, v: f"/emp/{v}", lambda c, v: str(v).upper())
+    out2 = html_list_items(employees.select("Name"), wrap_tag="ol",
+                           render_value=link,
+                           cell_attrs=lambda c, v: 'class="who"')
+    assert '<li class="who">Name: <a href="/emp/Thaddeus">THADDEUS</a></li>' in out2
+    assert out2.startswith("<ol>")
+    # escaping holds through the anchor
+    assert "&" not in anchor_cell(lambda c, v: "/x?a=1&b=2")("c", "<v>").split(">", 1)[0].replace("&amp;", "")

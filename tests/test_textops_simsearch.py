@@ -113,6 +113,28 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_distributed_training_recall(spark, emb):
+    """The 100-TB trainer: Lloyd rounds as Spark aggregations, only the
+    k x dim centroid model crossing the driver — recall and exact in-cell
+    re-rank must hold like the sample trainer's."""
+    from colonnade_spark.simsearch import brute_force_topk, ivf_topk
+
+    q = emb.filter("vec_id < 10")
+    c = emb.filter("vec_id >= 10")
+    exact = brute_force_topk(spark, q, c, "embedding", "vec_id", k=5).collect()
+    approx = ivf_topk(spark, q, c, "embedding", "vec_id", dim=64, k=5,
+                      n_cells=16, n_probe=6, train="distributed").collect()
+    exact_set = {(r["qid"], r["nid"]) for r in exact}
+    approx_set = {(r["qid"], r["nid"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"distributed-IVF recall too low: {recall}"
+    sim_by_pair = {(r["qid"], r["nid"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["nid"])
+        if key in sim_by_pair:
+            assert abs(sim_by_pair[key] - r["sim"]) < 1e-9
+
+
 def test_cosine_near_dup_pairs(spark, emb):
     from colonnade_spark.simsearch import cosine_near_dup_pairs
 
