@@ -56,8 +56,10 @@ def main() -> int:
     ap.add_argument("--columns", default=None,
                     help="decode: comma-separated column subset")
     ap.add_argument("--zone", default=None, metavar="COL:LO:HI",
-                    help="decode: zone-map stripe pruning on an int column "
-                         "(superset semantics; apply the exact filter after)")
+                    help="decode: zone-map stripe pruning on an integer or "
+                         "string column (bounds parsed as ints when both "
+                         "are numeric, else as strings; superset semantics "
+                         "— apply the exact filter after)")
     args = ap.parse_args()
 
     from colonnade_spark import engine
@@ -87,7 +89,10 @@ def main() -> int:
         zone = None
         if args.zone:
             zc, lo, hi = args.zone.split(":")
-            zone = (zc, int(lo), int(hi))
+            try:
+                zone = (zc, int(lo), int(hi))
+            except ValueError:       # string zone bounds (string zone maps)
+                zone = (zc, lo, hi)
         engine.decode_table(spark, args.warehouse, columns=cols,
                             zone_filter=zone) \
             .write.mode("overwrite").parquet(out)
