@@ -28,6 +28,9 @@ import glob
 import json
 import os
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from . import engine
 from .plan import EncodePlan
 
@@ -138,6 +141,82 @@ def stream_dedup_exact(spark, input_path: str, *, checkpoint_dir: str,
     q = (src.groupBy("__h")
          .applyInPandasWithState(keep_first, outputStructType=out_ddl,
                                  stateStructType="n int",
+                                 outputMode="append",
+                                 timeoutConf=GroupStateTimeout.NoTimeout)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def stream_dedup_near(spark, input_path: str, *, checkpoint_dir: str,
+                      out_dir: str, text_col: str = "content",
+                      threshold: float = 0.8, n_hashes: int = 64,
+                      max_kept_per_bucket: int = 8,
+                      max_files_per_trigger: int = 1):
+    """Streaming NEAR-duplicate dedup — the stateful-streaming analog of
+    :func:`textops.dedup_near_keep_first`: state is keyed by the document's
+    64-bit SimHash (near-identical documents collide), and within a bucket
+    each arrival is verified against the MinHash signatures of the
+    already-kept documents (estimated Jaccard >= ``threshold`` → dropped).
+    Both signatures ride the stream as stateless vectorized projections;
+    only signatures (never text) live in state.
+
+    Recall contract (the streaming pigeonhole): only candidates whose
+    SimHash collides EXACTLY are compared — hamming>0 near-dups pass
+    through, to be swept by the batch operator's multi-band LSH.  State per
+    bucket is capped at ``max_kept_per_bucket`` signatures (degenerate
+    buckets are boilerplate that exact dedup already catches).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, LongType
+
+    from .textops import minhash_signature_batch, simhash_batch
+
+    schema = spark.read.parquet(input_path).schema
+
+    @F.pandas_udf(LongType())
+    def sim_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(simhash_batch(s.tolist()))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minsig_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(minhash_signature_batch(s.tolist(), n_hashes))
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .parquet(input_path)
+           .withColumn("__sim", sim_udf(F.col(text_col)))
+           .withColumn("__msig", minsig_udf(F.col(text_col))))
+
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in schema.fields)
+
+    def keep_novel(key, pdfs, state: GroupState):
+        kept = np.array(state.get[0], dtype=np.int64).reshape(-1, n_hashes) \
+            if state.exists else np.empty((0, n_hashes), dtype=np.int64)
+        for pdf in pdfs:
+            emit_rows = []
+            for i in range(len(pdf)):
+                sig = np.asarray(pdf["__msig"].iloc[i], dtype=np.int64)
+                if kept.size:
+                    est = (kept == sig).mean(axis=1).max()
+                    if est >= threshold:
+                        continue                      # near-dup of a kept doc
+                emit_rows.append(i)
+                if len(kept) < max_kept_per_bucket:
+                    kept = np.vstack([kept, sig])
+            if emit_rows:
+                yield pdf.iloc[emit_rows].drop(columns=["__sim", "__msig"])
+        state.update((kept.ravel().tolist(),))
+
+    q = (src.groupBy("__sim")
+         .applyInPandasWithState(keep_novel, outputStructType=out_ddl,
+                                 stateStructType="sigs array<bigint>",
                                  outputMode="append",
                                  timeoutConf=GroupStateTimeout.NoTimeout)
          .writeStream.outputMode("append").format("parquet")

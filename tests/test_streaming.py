@@ -120,3 +120,57 @@ def test_stream_dedup_exact_stateful(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     contents = sorted(r["content"] for r in rows)
     assert contents == ["alpha", "beta", "gamma"]        # beta not re-emitted
+
+
+def test_stream_dedup_near_simhash_bucketed(spark, tmp_path):
+    """Streaming near-dedup: SimHash-keyed state, MinHash-verified drops.
+    Expectations derive from the documented contract — a later arrival is
+    dropped iff its SimHash collides with a kept doc AND estimated Jaccard
+    >= threshold; hamming>0 near-dups pass through (batch LSH's job)."""
+    import numpy as np
+
+    from colonnade_spark.textops import minhash_signature_batch, simhash_batch
+
+    rng = np.random.default_rng(7)
+    def word():
+        return "".join(rng.choice(list("abcdefghij"), size=8))
+    base = [" ".join(word() for _ in range(60)) for _ in range(20)]
+    near = [t + " x" for t in base]              # tiny-change near-dups
+    fresh = [f"completely different document {i} " * 30 for i in range(5)]
+
+    s_base, s_near = simhash_batch(base), simhash_batch(near)
+    m_base = np.array(minhash_signature_batch(base))
+    m_near = np.array(minhash_signature_batch(near))
+    est = (m_base == m_near).mean(axis=1)
+    expect_dropped = {i for i in range(20)
+                      if s_base[i] == s_near[i] and est[i] >= 0.8}
+    assert expect_dropped, "fixture must produce at least one collision"
+
+    src = str(tmp_path / "in")
+    rows1 = [(f"d{i}", base[i]) for i in range(20)]
+    rows2 = ([(f"n{i}", near[i]) for i in range(20)]
+             + [(f"f{i}", fresh[i]) for i in range(5)]
+             + [("d0-exact", base[0])])           # exact repeat, later batch
+    spark.createDataFrame(rows1, "id string, content string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, "id string, content string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    streaming.stream_dedup_near(
+        spark, src, checkpoint_dir=str(tmp_path / "ckpt"), out_dir=out,
+        text_col="content", threshold=0.8)
+    kept = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert {f"f{i}" for i in range(5)} <= kept           # fresh survive
+    # micro-batch file order is not write order → keep-FIRST is order-
+    # agnostic per colliding group: exactly ONE survivor per near-dup pair
+    for i in range(20):
+        group = {f"d{i}", f"n{i}"} | ({"d0-exact"} if i == 0 else set())
+        survivors = kept & group
+        if i in expect_dropped:
+            assert len(survivors) == 1, (i, survivors)
+        elif i == 0:
+            # n0 passes (no collision); the exact repeat still dedups
+            assert f"n{i}" in kept and len(kept & {"d0", "d0-exact"}) == 1
+        else:
+            assert {f"d{i}", f"n{i}"} <= kept, (i, survivors)
