@@ -108,6 +108,13 @@ def encode_worker(cores: int, corpus_dir: str, out_json: str,
            "bytes_in": manifest["bytes_in"], "bytes_out": manifest["bytes_out"],
            "compressed_ratio": round(manifest["bytes_out"] / max(manifest["bytes_in"], 1), 4)}
     if verify:
+        # pure decode wall (shuffle-free mapInArrow reassembly) → decode GB/s
+        t1 = time.time()
+        engine.decode_table(spark, wh).write.format("noop") \
+            .mode("overwrite").save()
+        dec = time.time() - t1
+        out["decode_sec"] = round(dec, 3)
+        out["decode_gbps"] = round(content_bytes / dec / 1e9, 4)
         # decode + sha256 verify wall (reported, not part of encode throughput)
         t1 = time.time()
         ver = engine.verify_roundtrip(spark, df, corpus_plan(), wh)
@@ -201,6 +208,8 @@ def main() -> None:
             "content_bytes": lo["content_bytes"],
             "compressed_ratio": hi["compressed_ratio"],
             "verify_ok": hi.get("verify_ok"),
+            "decode_gbps": hi.get("decode_gbps"),
+            "decode_sec": hi.get("decode_sec"),
             "scale_pair": [low, high],
             "scaling_efficiency": round(
                 hi["gbps"] / (lo["gbps"] * (high / low)), 4),

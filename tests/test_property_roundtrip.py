@@ -126,3 +126,23 @@ def test_post_zlib_roundtrip(vals):
     """Post-encode fmap (zlib over block payload) round-trips any codec."""
     arr = pa.array(vals, type=pa.string())
     assert decode_block(encode_block(arr, post="zlib")).equals(arr)
+
+
+@settings(**_SETTINGS)
+@given(st.text(min_size=0, max_size=4000),
+       st.integers(min_value=1, max_value=257),
+       st.booleans())
+def test_cell_fragments_roundtrip_property(cell, cap, post):
+    """Multi-block cell isomorphism at ARBITRARY fragment caps — the
+    reference's byte-per-chunk stress (siphon/test/Test.hs:103-122) applied
+    to cell splitting: any unicode cell, any cap (down to 1 byte, splitting
+    INSIDE multi-byte code points), with and without per-fragment zlib."""
+    from colonnade_spark.blocks import (decode_cell_fragments,
+                                        encode_cell_fragments)
+
+    arr = pa.array([cell], type=pa.string())
+    frames = encode_cell_fragments(arr, cap, post="zlib" if post else None)
+    nbytes = len(cell.encode("utf-8"))
+    assert len(frames) == max(-(-nbytes // cap), 1)
+    out = decode_cell_fragments(frames)
+    assert out[0].as_py() == cell and out.type == pa.string()
