@@ -862,6 +862,81 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (relops.asof_join): each click event picks up the latest
+    prior-or-simultaneous purchase value of the same user — the temporal
+    feature-attribution shape every training pipeline needs and Spark lacks
+    natively.  One shuffle, no range explode; oracle = DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` (inclusive >=), right side pre-aggregated to one row
+    per (user, ts) on both sides for tie determinism."""
+    from pyspark.sql import functions as F
+
+    from .relops import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    milli = F.round(F.col("value") * 1000).cast("bigint")
+    clicks = (ev.filter("event_type = 'click'")
+              .select("user_id", "ts", milli.alias("click_milli")))
+    purchases = (ev.filter("event_type = 'purchase'")
+                 .select("user_id", "ts", milli.alias("purchase_milli"))
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("purchase_milli").alias("purchase_milli")))
+    out = asof_join(clicks, purchases, on=["user_id"], ts="ts",
+                    right_cols=["purchase_milli"])
+    return out.select(
+        F.col("user_id").cast("bigint"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.col("click_milli").cast("bigint"),
+        F.col("purchase_milli").cast("bigint"))
+
+
+SQL_ASOF = """
+WITH l AS (SELECT user_id, ts, CAST(round(value * 1000) AS BIGINT) AS click_milli
+           FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, max(CAST(round(value * 1000) AS BIGINT)) AS purchase_milli
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT CAST(l.user_id AS BIGINT) AS user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       l.click_milli,
+       r.purchase_milli
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_events_range_join(spark, sf_dir):
+    """Range (interval) join (relops.range_join): events matched to the
+    first-half-hour window of their event type's active hours.  Binned
+    equi-join + residual — Spark would otherwise plan the inequality join
+    as BNLJ/cartesian; oracle = the plain inequality join in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from .relops import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    intervals = (ev.select("event_type",
+                           F.date_trunc("hour", "ts").alias("start"))
+                 .distinct()
+                 .withColumn("end", F.col("start")
+                             + F.expr("INTERVAL 30 MINUTES")))
+    j = range_join(ev.select("event_id", "event_type", "ts"), intervals,
+                   on=["event_type"], ts="ts", bin_seconds=1800)
+    return j.select(F.col("event_id").cast("bigint"),
+                    "event_type",
+                    F.date_format("start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"))
+
+
+SQL_RANGE_JOIN = """
+WITH i AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS s FROM events)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       e.event_type,
+       strftime(i.s, '%Y-%m-%d %H:%M:%S') AS win_start
+FROM events e JOIN i
+  ON e.event_type = i.event_type
+ AND e.ts >= i.s AND e.ts < i.s + INTERVAL 30 MINUTE
+"""
+
+
 def q_tpch_shipping_priority(spark, sf_dir):
     """TPC-H Q3-shaped join pipeline: customer (filtered segment) ⋈ orders
     ⋈ lineitem.  Broadcast discipline: only the genuinely BOUNDED side gets
@@ -1042,7 +1117,9 @@ def _raw_registry() -> dict:
         "simhash_neardup": (q_simhash_neardup, None),  # rows-only
         "multimodal_meta": (q_multimodal_meta, SQL_MM_META),
         "multimodal_features": (q_multimodal_features, None),  # stub decode
-        # relational shell + event-time window + semi-structured
+        # relational shell + event-time window + semi-structured + temporal
+        "events_asof_join": (q_events_asof_join, SQL_ASOF),
+        "events_range_join": (q_events_range_join, SQL_RANGE_JOIN),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
         "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
         "tpch_shipping_priority": (q_tpch_shipping_priority, SQL_TPCH_Q3),

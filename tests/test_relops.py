@@ -1,0 +1,109 @@
+"""Temporal operators (relops): as-of join and binned range join — checked
+against in-Spark brute-force inequality joins on small data, with the
+cartesian-free plan shape machine-asserted (the whole point of the binned /
+union-window reformulations)."""
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def temporal(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(6):
+        for i in range(40):
+            rows.append((u, base + dt.timedelta(minutes=7 * i + u),
+                         "left", float(i)))
+        for i in range(10):
+            rows.append((u, base + dt.timedelta(minutes=29 * i), "right",
+                         float(100 + i)))
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, side string, v double")
+
+
+def test_asof_join_matches_brute_force(spark, temporal):
+    from pyspark.sql import functions as F
+
+    from colonnade_spark.relops import asof_join
+
+    l = temporal.filter("side = 'left'").select("user_id", "ts", "v")
+    r = (temporal.filter("side = 'right'")
+         .groupBy("user_id", "ts").agg(F.max("v").alias("rv")))
+    out = asof_join(l, r, on=["user_id"], ts="ts", right_cols=["rv"])
+    got = {(x["user_id"], x["ts"], x["v"]): x["rv"] for x in out.collect()}
+
+    # brute force: max-ts right row with ts <= left.ts per key
+    lrows = l.collect()
+    rrows = r.collect()
+    assert len(got) == len(lrows)
+    for x in lrows:
+        cands = [y for y in rrows
+                 if y["user_id"] == x["user_id"] and y["ts"] <= x["ts"]]
+        expect = max(cands, key=lambda y: y["ts"])["rv"] if cands else None
+        assert got[(x["user_id"], x["ts"], x["v"])] == expect
+
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the as-of itself is ONE window over ONE hash exchange on the keys
+    # (AQE repeats Exchange nodes inside materialized query stages, so
+    # count distinct shuffle ids rather than string occurrences)
+    import re
+    shuffles = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert len(shuffles) <= 2, plan              # window + caller's dedup agg
+    assert "Window" in plan and "Join" not in plan
+
+
+def test_asof_join_inclusive_tie_and_collision_guard(spark, temporal):
+    import datetime as dt
+
+    from colonnade_spark.relops import asof_join
+
+    t0 = dt.datetime(2024, 6, 1)
+    l = spark.createDataFrame([(1, t0, 5.0)], "user_id long, ts timestamp, v double")
+    r = spark.createDataFrame([(1, t0, 77.0)], "user_id long, ts timestamp, rv double")
+    # equality is INCLUSIVE (DuckDB ASOF >= semantics)
+    assert asof_join(l, r, ["user_id"], "ts", ["rv"]).collect()[0]["rv"] == 77.0
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l, r.withColumnRenamed("rv", "v"), ["user_id"], "ts", ["v"])
+
+
+def test_range_join_matches_brute_force_and_plan(spark, temporal):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from colonnade_spark.relops import range_join
+
+    ev = temporal.select("user_id", "ts", "v")
+    base = dt.datetime(2024, 1, 1)
+    ivals = spark.createDataFrame(
+        [(u, base + dt.timedelta(minutes=60 * k),
+          base + dt.timedelta(minutes=60 * k + 45), k)
+         for u in range(6) for k in range(5)],
+        "user_id long, start timestamp, end timestamp, k long")
+
+    out = range_join(ev, ivals, on=["user_id"], ts="ts", bin_seconds=900)
+    got = {(r["user_id"], r["ts"], r["k"]) for r in out.collect()}
+    brute = {(e["user_id"], e["ts"], i["k"])
+             for e in ev.collect() for i in ivals.collect()
+             if e["user_id"] == i["user_id"]
+             and i["start"] <= e["ts"] < i["end"]}
+    assert got == brute and brute            # non-empty, exact
+
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # bin width much smaller than intervals still exact
+    out2 = range_join(ev, ivals, on=["user_id"], ts="ts", bin_seconds=60)
+    assert {(r["user_id"], r["ts"], r["k"]) for r in out2.collect()} == brute
+    # empty/degenerate intervals are ignored
+    degen = ivals.withColumn("end", F.col("start"))
+    assert range_join(ev, degen, ["user_id"], "ts").count() == 0
