@@ -24,13 +24,24 @@ _MAX_ALPHA = 16
 
 
 def _alphabet(data: np.ndarray) -> np.ndarray | None:
-    """Sorted distinct byte values, or None if > _MAX_ALPHA (one bincount)."""
+    """Sorted distinct byte values, or None if > _MAX_ALPHA.
+
+    Scans in slices with early exit: free-text columns (source code, prose)
+    blow past 16 distinct bytes within the first slice, so the common
+    reject answer costs ~64 KiB of scan instead of the whole buffer; a
+    genuinely small-alphabet column (hex ids, digits) still gets the exact
+    one-pass answer.  Deterministic — pure function of the buffer prefix.
+    """
     if data.size == 0:
         return np.zeros(0, dtype=np.uint8)
-    counts = np.bincount(data, minlength=256)
-    uniq = np.flatnonzero(counts)
-    if uniq.size > _MAX_ALPHA:
-        return None
+    seen = np.zeros(256, dtype=bool)
+    step = 1 << 16
+    for lo in range(0, data.size, step):
+        seen[data[lo: lo + step]] = True
+        if np.count_nonzero(seen) > _MAX_ALPHA:
+            return None
+        step = min(step << 2, 1 << 24)
+    uniq = np.flatnonzero(seen)
     return uniq.astype(np.uint8)
 
 

@@ -155,10 +155,11 @@ def _greedy_encode(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
     Returns (unit positions ascending, unit codes; ESCAPE where literal).
     """
     n = data.size
-    taken = np.zeros(n, dtype=bool)
-    code_at = np.zeros(n, dtype=np.uint8)
+    # one int16 scatter per wave fuses the taken-bitmap and code stores
+    # (-1 = no unit starts here); codes are re-narrowed to u8 at the end.
+    code_at = np.full(n, -1, dtype=np.int16)
     if n == 0:
-        return np.zeros(0, dtype=np.int64), code_at
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8)
     seg_s, seg_e = _segment_bounds(offsets, _seg_for(n))
     # zero-padded buffer, length a multiple of 8 → aligned native-u64 view;
     # the unaligned little-endian 8-byte key at byte p is
@@ -189,13 +190,14 @@ def _greedy_encode(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
         key8 = (words[widx] >> sh) \
             | ((words[widx + 1] << (c64(63) - sh)) << c64(1))
         rem = end - cur
-        # 1-byte (default len 1; ESCAPE when no symbol)
-        c1 = table._t1[(key8 & c64(0xFF)).astype(np.uint8)]
-        # 2-byte
-        c2 = table._t2[(key8 & c64(0xFFFF)).astype(np.uint32)]
+        # 1-byte (default len 1; ESCAPE when no symbol).  Unsigned astype
+        # truncates mod 2^k — the low byte / low 2 bytes without an AND.
+        c1 = table._t1[key8.astype(np.uint8)]
+        # 2-byte (u16 direct-table index)
+        c2 = table._t2[key8.astype(np.uint16)]
         ok2 = (c2 != ESCAPE) & (rem >= 2)
         # 3..8-byte via prefix hash: one structured gather per wave
-        h = ((key8 & c64(0xFFFFFF)).astype(np.uint32)
+        h = ((key8.astype(np.uint32) & np.uint32(0xFFFFFF))
              * np.uint32(_HASH_MULT32)) >> np.uint32(32 - _HASH_BITS)
         s = table._slot[h]
         ll = s["len"]
@@ -203,20 +205,18 @@ def _greedy_encode(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
         length = np.where(ok3, ll.astype(np.int64),
                           np.where(ok2, 2, 1))
         c = np.where(ok3, s["code"], np.where(ok2, c2, c1))
-        taken[cur] = True
         code_at[cur] = c
         cur = cur + length
         alive = cur < end
         cur, end = cur[alive], end[alive]
-    units = np.flatnonzero(taken)
-    return units, code_at
+    units = np.flatnonzero(code_at >= 0)
+    return units, code_at[units].astype(np.uint8)
 
 
 def _encode_stream(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
                    ) -> tuple[np.ndarray, np.ndarray]:
     """Encode concatenated strings → (stream uint8, per-string out byte counts)."""
-    units, code_at = _greedy_encode(data, offsets, table)
-    codes = code_at[units]
+    units, codes = _greedy_encode(data, offsets, table)
     esc = codes == ESCAPE
     out_len = np.where(esc, 2, 1).astype(np.int64)
     out_off = np.concatenate(([0], np.cumsum(out_len)))
@@ -324,10 +324,10 @@ def build_symbol_table(data: np.ndarray, offsets: np.ndarray) -> SymbolTable:
     # or the adjacent-unit pairing below would cross segment boundaries
     seg_s, _seg_e = _segment_bounds(offsets, _seg_for(data.size))
     for _ in range(BUILD_ITERS):
-        units, code_at = _greedy_encode(data, offsets, table)
+        units, codes = _greedy_encode(data, offsets, table)
         if units.size == 0:
             break
-        ulen = table.lens_array()[code_at[units]]
+        ulen = table.lens_array()[codes]
         # candidate grams: every unit, plus adjacent-unit concatenations <= 8B
         # (units tile each segment, so a pair's bytes are contiguous at pos_i)
         sid = np.searchsorted(seg_s, units, side="right") - 1
