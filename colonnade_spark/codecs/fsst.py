@@ -223,8 +223,11 @@ def _encode_stream(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
     stream = np.empty(int(out_off[-1]), dtype=np.uint8)
     stream[out_off[:-1]] = codes
     stream[out_off[:-1][esc] + 1] = data[units[esc]]
-    sid = np.searchsorted(offsets, units, side="right") - 1
-    counts = np.bincount(sid, weights=out_len, minlength=len(offsets) - 1).astype(np.int64)
+    # per-string out bytes: units is sorted, so search the (few) string
+    # offsets into it and diff the out_len prefix sums — O(n_strings log
+    # n_units) instead of a per-unit searchsorted + weighted bincount.
+    b = np.searchsorted(units, offsets)
+    counts = out_off[b[1:]] - out_off[b[:-1]]
     return stream, counts
 
 
