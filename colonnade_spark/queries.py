@@ -1022,6 +1022,123 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_local_volume(spark, sf_dir):
+    """TPC-H Q5-shaped local-supplier volume: a six-table join tree.
+
+    Scale shape: only the genuinely bounded dims (region: 5 rows, nation:
+    25) carry broadcast hints; supplier and customer scale with the fact
+    tables, so those joins are left to AQE (broadcast when the filtered
+    side is actually small, shuffle otherwise) — the lesson of the round-2
+    Q3 finding.  Exact decimal revenue folded to BIGINT for parity."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = F.broadcast(
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("n_nationkey", "n_name"))
+    sn = (supp.join(nr, supp.s_nationkey == nr.n_nationkey)
+          .select("s_suppkey", "s_nationkey", "n_name"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(sn, (li.l_suppkey == sn.s_suppkey)
+               & (cust.c_nationkey == sn.s_nationkey)))
+    return (j.groupBy("n_name")
+            .agg((F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc))
+                  * 10000).cast("bigint").alias("revenue_c4"),
+                 F.count("*").cast("bigint").alias("n_items")))
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            * 10000 AS BIGINT) AS revenue_c4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs to be stable across reruns and engines: bucket = first
+    32 bits of md5(decimal doc id) mod 100, 80/10/10.  Pure JVM built-ins
+    (md5/conv), no shuffle at all: embarrassingly parallel over scans."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % 100)
+    return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        bucket.alias("bucket"))
+            .withColumn("split",
+                        F.when(F.col("bucket") < 80, "train")
+                        .when(F.col("bucket") < 90, "val")
+                        .otherwise("test")))
+
+
+SQL_DATASET_SPLIT = """
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 100 AS BIGINT) AS bucket
+      FROM documents)
+"""
+
+
+def q_top_terms(spark, sf_dir):
+    """Per-language top-5 corpus terms (vocabulary/term-frequency stats).
+
+    Scale shape: explode + groupBy(lang, term) gets a map-side partial
+    aggregate (term counts combine before the shuffle); the rank window
+    runs on the already-aggregated counts table, partitioned by lang.
+    Ties broken by term ascending for determinism."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    terms = (docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
+             .filter(F.col("term") != ""))
+    counts = terms.groupBy("lang", "term").agg(
+        F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 5))
+
+
+SQL_TOP_TERMS = """
+SELECT lang, term, n, rnk FROM (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS n,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY count(*) DESC, term) AS BIGINT) AS rnk
+  FROM (SELECT lang, unnest(str_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY lang, term)
+WHERE rnk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1124,4 +1241,7 @@ def _raw_registry() -> dict:
         "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
         "tpch_shipping_priority": (q_tpch_shipping_priority, SQL_TPCH_Q3),
         "tpch_pricing": (q_tpch_pricing, SQL_TPCH),
+        "tpch_local_volume": (q_tpch_local_volume, SQL_TPCH_Q5),
+        "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+        "top_terms": (q_top_terms, SQL_TOP_TERMS),
     }
