@@ -270,8 +270,15 @@ def _decode_stream(stream: np.ndarray, counts: np.ndarray, table: SymbolTable
                          sym_off[np.where(is_esc, 0, codes)])
     total = int(out_lens.sum())
     unit_out_off = np.concatenate(([0], np.cumsum(out_lens)))
-    ar = np.arange(total, dtype=np.int64) - np.repeat(unit_out_off[:-1], out_lens)
-    data = src[np.repeat(src_start, out_lens) + ar]
+    # gather indices by scatter+cumsum instead of two np.repeat passes:
+    # the index steps by 1 inside a unit and jumps to the next unit's
+    # source start at each boundary.
+    idx = np.ones(total, dtype=np.int64)
+    if units.size:
+        idx[0] = src_start[0]
+        idx[unit_out_off[1:-1]] = src_start[1:] - (src_start[:-1] + out_lens[:-1] - 1)
+        np.cumsum(idx, out=idx)
+    data = src[idx]
     # per-string offsets: stream offsets → unit index → output offset
     stream_off = np.concatenate(([0], np.cumsum(counts)))
     unit_idx = np.searchsorted(units, stream_off)
