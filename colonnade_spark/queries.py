@@ -671,7 +671,16 @@ SQL_MM_META = ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_b
 
 def q_multimodal_features(spark, sf_dir):
     """Feature extraction over a binary column via mapInPandas (decode step
-    is the deterministic stub — real codecs absent here; rows-only).
+    is the deterministic stub — real codecs absent here).
+
+    ORACLE-CHECKED: SQL_MM_FEATURES re-implements the whole kernel in
+    DuckDB (hex-pair byte parse, CRC-32 table built by 8 unrolled
+    shift/xor rounds, per-byte histogram for Shannon entropy, float32
+    division mirrored via REAL casts).  The float32 feature value is cast
+    to double BEFORE the *1000 so both engines multiply in double (exact:
+    24-bit mantissa x 10 bits fits); entropy uses numpy's half-even round
+    → round_even in the SQL; feature milli uses Spark HALF_UP == DuckDB
+    round (half-away, positive domain).
 
     Driver-canonicalizable output: the feature vector is projected to
     integer milli-unit columns (f0..f7) — no array<float> in the result
@@ -684,13 +693,73 @@ def q_multimodal_features(spark, sf_dir):
     df = (_read(spark, sf_dir, "documents")
           .select("doc_id", F.col("text").cast("binary").alias("payload")))
     feats = extract_features(df, "doc_id", "payload", modality="fake")
-    f_cols = [F.round(F.col("features")[i] * 1000).cast("bigint")
+    f_cols = [F.round(F.col("features")[i].cast("double") * 1000).cast("bigint")
               .alias(f"f{i}_milli") for i in range(N_FEATURES)]
     return feats.select(F.col("id").cast("bigint").alias("doc_id"),
                         F.col("n_bytes").cast("bigint"),
                         F.col("crc").cast("bigint").alias("crc"),
                         F.col("entropy_milli").cast("bigint"),
                         *f_cols)
+
+
+def _sql_mm_features() -> str:
+    """Pure-SQL re-implementation of multimodal.batch_meta + zlib.crc32
+    over UTF-8 payload bytes (the doc_winnow-oracle pattern: hex-pair byte
+    parse; everything per-byte happens in plain SQL aggregation)."""
+    # CRC-32 table: 8 unrolled rounds of c = (c&1) ? poly ^ (c>>1) : c>>1
+    step = ("SELECT i, CASE WHEN c % 2 = 1 THEN xor(3988292384, c // 2) "
+            "ELSE c // 2 END AS c FROM t{k}")
+    tbl_ctes = ",\n".join(
+        f"t{k + 1} AS ({step.format(k=k)})" for k in range(8))
+    f_cols = ",\n".join(
+        "         CAST(round(CAST(CAST(sum(CASE WHEN b // 32 = {i} THEN c "
+        "ELSE 0 END) AS REAL)\n"
+        "                         / CAST(any_value(nn) AS REAL) AS DOUBLE) "
+        "* 1000) AS BIGINT) AS f{i}_milli".format(i=i) for i in range(8))
+    return f"""
+WITH t0 AS (SELECT i, i AS c FROM range(256) r(i)),
+{tbl_ctes},
+crc_tbl AS (SELECT list(c ORDER BY i) AS T FROM t8),
+doc AS (
+  SELECT doc_id, hex(encode(text)) AS H, octet_length(encode(text)) AS n
+  FROM documents
+),
+blist AS (
+  SELECT doc_id, n,
+         list_transform(range(1, 2*n, 2),
+           p -> (strpos('0123456789ABCDEF', H[p]) - 1) * 16
+              + (strpos('0123456789ABCDEF', H[p+1]) - 1)) AS bl
+  FROM doc
+),
+crc AS (
+  SELECT doc_id,
+         CAST(xor(list_reduce(list_prepend(4294967295, bl),
+                              (c, b) -> xor(T[(xor(c, b) & 255) + 1], c // 256)),
+                  4294967295) - 2147483648 AS BIGINT) AS crc
+  FROM blist, crc_tbl
+),
+hist AS (
+  SELECT doc_id, any_value(n) AS nn, b, count(*) AS c
+  FROM (SELECT doc_id, n, unnest(bl) AS b FROM blist)
+  GROUP BY doc_id, b
+),
+agg AS (
+  SELECT doc_id,
+         CAST(any_value(nn) AS BIGINT) AS n_bytes,
+         CAST(round_even(-(sum((c / CAST(nn AS DOUBLE))
+                               * log2(c / CAST(nn AS DOUBLE)))) * 1000, 0)
+              AS BIGINT) AS entropy_milli,
+{f_cols}
+  FROM hist GROUP BY doc_id
+)
+SELECT agg.doc_id, agg.n_bytes, crc.crc, agg.entropy_milli,
+       f0_milli, f1_milli, f2_milli, f3_milli,
+       f4_milli, f5_milli, f6_milli, f7_milli
+FROM agg JOIN crc USING (doc_id)
+"""
+
+
+SQL_MM_FEATURES = _sql_mm_features()
 
 
 def q_codec_selection(spark, sf_dir):
@@ -1233,7 +1302,9 @@ def _raw_registry() -> dict:
         "minhash_twin_recall": (q_minhash_twin_recall, SQL_MINHASH_RECALL),
         "simhash_neardup": (q_simhash_neardup, None),  # rows-only
         "multimodal_meta": (q_multimodal_meta, SQL_MM_META),
-        "multimodal_features": (q_multimodal_features, None),  # stub decode
+        # fake-decode kernel fully re-implemented in SQL (crc32 table,
+        # byte histograms, float32-division mirroring) → promoted
+        "multimodal_features": (q_multimodal_features, SQL_MM_FEATURES),
         # relational shell + event-time window + semi-structured + temporal
         "events_asof_join": (q_events_asof_join, SQL_ASOF),
         "events_range_join": (q_events_range_join, SQL_RANGE_JOIN),
