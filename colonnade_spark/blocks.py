@@ -203,12 +203,30 @@ def encode_cell_fragments(arr: pa.Array, frag_bytes: int,
     return frames
 
 
-def decode_cell_fragments(frames) -> pa.Array:
-    """Reassemble one cell from its fragment blocks (any order — fragments
-    carry their index).  Validates completeness, duplicates, and per-fragment
-    crc; returns a 1-row arrow array of the original type."""
-    parts: dict[int, bytes] = {}
+def iter_cell_fragments(frames, meta_out: dict | None = None):
+    """Stream one fragmented cell as index-ordered byte chunks WITHOUT ever
+    materializing the whole cell — the >2 GiB-cell scale path (an arrow
+    scalar caps at 2 GiB; a chunk iterator does not).
+
+    Fragments may arrive in any order; only out-of-order fragments are
+    buffered, so index-ordered arrival streams in O(one fragment) memory.
+    Per-fragment crc is validated on arrival, completeness when the input
+    is exhausted (the generator raises BlockError at that point — consumers
+    must drain it before trusting the prefix).  Chunks are raw payload
+    bytes: a ``str`` cell is UTF-8 and a chunk may end mid-codepoint — use
+    ``codecs.getincrementaldecoder("utf-8")`` on the consumer side.
+
+    ``meta_out`` (optional dict) receives ``{"k": kind, "t": arrow_type,
+    "n": n_fragments}`` as soon as the first fragment arrives.
+
+    The reference analog is the resumable parser continuation for cells
+    spanning chunk boundaries (/root/reference/siphon/src/Siphon.hs:612-616)
+    — there the chunking is the CSV transport's, here it is the fragment
+    blocks'.
+    """
+    pending: dict[int, bytes] = {}
     nfrag = kind = typ = None
+    nxt = 0
     for buf in frames:
         codec_id, header, payload = _unframe(buf)
         f = header.get("f")
@@ -221,20 +239,32 @@ def decode_cell_fragments(frames) -> pa.Array:
             payload = zlib.decompress(payload)
         if nfrag is None:
             nfrag, kind, typ = n, header["k"], header["t"]
+            if meta_out is not None:
+                meta_out.update({"k": kind, "t": typ, "n": nfrag})
         elif (n, header["k"], header["t"]) != (nfrag, kind, typ):
             raise BlockError("inconsistent fragment set (mixed cells?)")
-        if i in parts:
-            raise BlockError(f"duplicate cell fragment {i}/{n}")
-        parts[i] = bytes(payload)
-    if nfrag is None or len(parts) != nfrag:
-        missing = sorted(set(range(nfrag or 0)) - set(parts))
+        if i < nxt or i in pending:
+            raise BlockError(f"duplicate cell fragment {i}/{nfrag}")
+        pending[i] = bytes(payload)
+        while nxt in pending:
+            yield pending.pop(nxt)
+            nxt += 1
+    if nfrag is None or nxt != nfrag:
+        missing = sorted(set(range(nfrag or 0)) - set(range(nxt))
+                         - set(pending))
         raise BlockError(f"incomplete cell fragment set: missing {missing}")
-    raw = b"".join(parts[i] for i in range(nfrag))
-    atype = pa.type_for_alias(typ)
-    if kind == "str":
-        scalar = raw.decode("utf-8")
-    else:
-        scalar = raw
+
+
+def decode_cell_fragments(frames) -> pa.Array:
+    """Reassemble one cell from its fragment blocks (any order — fragments
+    carry their index).  Validates completeness, duplicates, and per-fragment
+    crc; returns a 1-row arrow array of the original type.  (Materializing
+    form of :func:`iter_cell_fragments` — fine below the 2 GiB arrow scalar
+    ceiling, use the iterator above it.)"""
+    meta: dict = {}
+    raw = b"".join(iter_cell_fragments(frames, meta_out=meta))
+    atype = pa.type_for_alias(meta["t"])
+    scalar = raw.decode("utf-8") if meta["k"] == "str" else raw
     return pa.array([scalar], type=atype)
 
 

@@ -331,3 +331,49 @@ def test_cell_fragments_fail_loudly():
         encode_cell_fragments(pa.array(["a", "b"]), 10)
     with pytest.raises(BlockError, match="string/binary"):
         encode_cell_fragments(pa.array([123]), 10)
+
+
+def test_iter_cell_fragments_streams_bounded():
+    """The streaming fragment iterator: in-order arrival buffers at most one
+    fragment, out-of-order arrival still yields index order, UTF-8 chunks
+    reassemble through an incremental decoder, errors stay loud."""
+    import codecs as pycodecs
+    import random
+
+    import pyarrow as pa
+    import pytest
+
+    from colonnade_spark.blocks import (BlockError, encode_cell_fragments,
+                                        iter_cell_fragments)
+
+    cell = ("héllo wörld 日本語🎉 " * 500)
+    frames = encode_cell_fragments(pa.array([cell]), 256)
+
+    # in-order: the generator must yield one chunk per frame as it goes
+    # (O(one fragment) memory) — consume lockstep and count
+    meta: dict = {}
+    chunks = []
+    it = iter_cell_fragments(iter(frames), meta_out=meta)
+    for k, chunk in enumerate(it):
+        chunks.append(chunk)
+        assert meta["n"] == len(frames) and meta["k"] == "str"
+    assert len(chunks) == len(frames)
+    dec = pycodecs.getincrementaldecoder("utf-8")()
+    text = "".join(dec.decode(c) for c in chunks) + dec.decode(b"", True)
+    assert text == cell
+    # chunks genuinely split multi-byte codepoints (the boundary case the
+    # incremental decoder exists for)
+    assert any(len(c.decode("utf-8", errors="ignore").encode("utf-8"))
+               != len(c) for c in chunks)
+
+    # out-of-order arrival: same bytes, index order preserved
+    shuffled = list(frames)
+    random.Random(7).shuffle(shuffled)
+    assert b"".join(iter_cell_fragments(shuffled)) == b"".join(chunks)
+
+    # incomplete set raises when drained
+    with pytest.raises(BlockError, match="missing"):
+        list(iter_cell_fragments(frames[:-1]))
+    # duplicates raise even for an already-yielded index
+    with pytest.raises(BlockError, match="duplicate"):
+        list(iter_cell_fragments(frames + [frames[0]]))
