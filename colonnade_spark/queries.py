@@ -1176,6 +1176,72 @@ FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination — the overlap check every training pipeline
+    runs before eval: for each held-out (test-split) document, how many of
+    its distinct word 3-grams appear anywhere in the train split, and is it
+    contaminated (>= half its shingles seen in train)?
+
+    Scale shape: shingles are generated JVM-side (sequence + slice +
+    concat_ws — no Python), the train side is a distinct-shingle table
+    (map-side combine), and the check is one equi-join on the shingle key.
+    At 100 TB you'd hash shingles to int64 first (xxhash64) to cut shuffle
+    width and materialize the train-shingle table once per corpus snapshot;
+    the string key here keeps the DuckDB oracle exact."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % 100)
+    words = F.split("text", " ")
+    # guard: Spark sequence(1, 0) DESCENDS ([1, 0]) — short docs need an
+    # explicit empty shingle list (DuckDB's range(1, 1) is already empty)
+    shingles = F.when(F.size(words) >= 3, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3))))
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       bucket.alias("bucket"), shingles.alias("sh"))
+    test = (base.filter(F.col("bucket") >= 90)
+            .select("doc_id", F.explode("sh").alias("s")))
+    train_sh = (base.filter(F.col("bucket") < 80)
+                .select(F.explode("sh").alias("s")).distinct())
+    hits = (test.join(train_sh, "s")
+            .groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_hit")))
+    test_docs = (base.filter(F.col("bucket") >= 90)
+                 .select("doc_id", F.size("sh").cast("bigint").alias("n_shingles")))
+    return (test_docs.join(hits, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+                    (F.coalesce("n_hit", F.lit(0)) * 2
+                     >= F.col("n_shingles")).alias("contaminated")))
+
+
+SQL_DECONTAMINATE = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 AS BIGINT) AS bucket,
+         list_distinct(list_transform(
+           range(1, greatest(len(str_split(text, ' ')) - 2, 0) + 1),
+           i -> array_to_string(str_split(text, ' ')[i:i+2], ' '))) AS sh
+  FROM documents
+),
+test_sh AS (SELECT doc_id, unnest(sh) AS s FROM base WHERE bucket >= 90),
+train_sh AS (SELECT DISTINCT unnest(sh) AS s FROM base WHERE bucket < 80),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM test_sh JOIN train_sh USING (s) GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(len(b.sh) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       COALESCE(h.n_hit, 0) * 2 >= len(b.sh) AS contaminated
+FROM base b LEFT JOIN hits h USING (doc_id)
+WHERE b.bucket >= 90
+"""
+
+
 def q_top_terms(spark, sf_dir):
     """Per-language top-5 corpus terms (vocabulary/term-frequency stats).
 
@@ -1314,5 +1380,6 @@ def _raw_registry() -> dict:
         "tpch_pricing": (q_tpch_pricing, SQL_TPCH),
         "tpch_local_volume": (q_tpch_local_volume, SQL_TPCH_Q5),
         "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+        "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "top_terms": (q_top_terms, SQL_TOP_TERMS),
     }
