@@ -1242,6 +1242,39 @@ WHERE b.bucket >= 90
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing — assign documents to fixed-token-budget training
+    packs: within each language shard, documents are laid out in doc_id
+    order and a document's pack is its starting offset divided by the
+    budget (contiguous offset packing; one window cumsum, no state).  True
+    first-fit-decreasing packing is a stateful scan — the streaming shape
+    (applyInPandasWithState) covers that class; this is the deterministic
+    bulk form every data loader can reproduce."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = F.size(F.split("text", " ")).cast("bigint")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("tok").over(w)
+    return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        "lang", tok.alias("tok"))
+            .withColumn("pack_id",
+                        F.floor((cum - F.col("tok")) / 256).cast("bigint")))
+
+
+SQL_PACK = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS tok,
+       CAST(floor((sum(len(str_split(text, ' ')))
+                     OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING)
+                   - len(str_split(text, ' '))) / 256) AS BIGINT) AS pack_id
+FROM documents
+"""
+
+
 def q_top_terms(spark, sf_dir):
     """Per-language top-5 corpus terms (vocabulary/term-frequency stats).
 
@@ -1381,5 +1414,6 @@ def _raw_registry() -> dict:
         "tpch_local_volume": (q_tpch_local_volume, SQL_TPCH_Q5),
         "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "pack_sequences": (q_pack_sequences, SQL_PACK),
         "top_terms": (q_top_terms, SQL_TOP_TERMS),
     }
