@@ -228,24 +228,16 @@ def iter_cell_fragments(frames, meta_out: dict | None = None):
     nfrag = kind = typ = None
     nxt = 0
     for buf in frames:
-        codec_id, header, payload = _unframe(buf)
-        f = header.get("f")
-        if f is None:
-            raise BlockError("not a cell fragment (no 'f' in header)")
-        i, n = int(f[0]), int(f[1])
-        if header.get("crc") is not None and zlib.crc32(payload) != header["crc"]:
-            raise BlockError(f"crc mismatch in cell fragment {i}/{n}")
-        if header.get("z"):
-            payload = zlib.decompress(payload)
+        i, n, payload, k, t = fragment_chunk(buf)
         if nfrag is None:
-            nfrag, kind, typ = n, header["k"], header["t"]
+            nfrag, kind, typ = n, k, t
             if meta_out is not None:
                 meta_out.update({"k": kind, "t": typ, "n": nfrag})
-        elif (n, header["k"], header["t"]) != (nfrag, kind, typ):
+        elif (n, k, t) != (nfrag, kind, typ):
             raise BlockError("inconsistent fragment set (mixed cells?)")
         if i < nxt or i in pending:
             raise BlockError(f"duplicate cell fragment {i}/{nfrag}")
-        pending[i] = bytes(payload)
+        pending[i] = payload
         while nxt in pending:
             yield pending.pop(nxt)
             nxt += 1
@@ -253,6 +245,23 @@ def iter_cell_fragments(frames, meta_out: dict | None = None):
         missing = sorted(set(range(nfrag or 0)) - set(range(nxt))
                          - set(pending))
         raise BlockError(f"incomplete cell fragment set: missing {missing}")
+
+
+def fragment_chunk(buf) -> tuple[int, int, bytes, str, str]:
+    """Decode ONE fragment block standalone → (frag_idx, n_frags, payload
+    bytes, kind, arrow_type).  Per-fragment crc validated; post-transform
+    inverted.  The unit the distributed chunked decode maps over
+    (engine.decode_giant_cells) — no cross-fragment state needed."""
+    codec_id, header, payload = _unframe(buf)
+    f = header.get("f")
+    if f is None:
+        raise BlockError("not a cell fragment (no 'f' in header)")
+    i, n = int(f[0]), int(f[1])
+    if header.get("crc") is not None and zlib.crc32(payload) != header["crc"]:
+        raise BlockError(f"crc mismatch in cell fragment {i}/{n}")
+    if header.get("z"):
+        payload = zlib.decompress(payload)
+    return i, n, bytes(payload), header["k"], header["t"]
 
 
 def decode_cell_fragments(frames) -> pa.Array:

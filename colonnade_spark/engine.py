@@ -610,6 +610,76 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
         .mapInArrow(stream_stripes, out_schema)
 
 
+def decode_giant_cells(spark, warehouse: str, column: str, *,
+                       validate: bool = True):
+    """Chunked decode of fragmented (multi-block) cells: one output row PER
+    FRAGMENT — ``(bucket, stripe, frag_idx, n_frags, kind, chunk)`` — so no
+    single row ever exceeds the fragment cap.  This is the >2 GiB-cell
+    scale path (``decode_table`` reassembles each cell into one arrow
+    scalar, which caps at 2 GiB; :func:`blocks.iter_cell_fragments` is the
+    in-process streaming analog).
+
+    Chunks are the cell's raw bytes in ``frag_idx`` order after sorting by
+    ``(bucket, stripe, frag_idx)``; ``str`` cells are UTF-8 and a chunk
+    boundary may split a codepoint — consumers stitch with
+    ``codecs.getincrementaldecoder("utf-8")``.  Per-fragment crc is
+    validated during the map; ``n_frags`` rides every row so consumers can
+    verify set completeness stream-side.  ``validate=True`` additionally
+    runs an eager bounded check (fragment METADATA only — one row per
+    fragmented stripe) that catches duplicate and gap fragments up front;
+    missing tail fragments are left to the per-row ``n_frags`` contract.
+    """
+    from pyspark.sql import functions as F
+
+    bdf = (spark.read.parquet(os.path.join(warehouse, "blocks"))
+           .filter((F.col("column") == column) & (F.col("frag") >= 0)))
+    if validate:
+        bad = (bdf.groupBy("bucket", "stripe")
+               .agg(F.count("*").alias("cnt"),
+                    F.countDistinct("frag").alias("got"),
+                    F.max("frag").alias("mx"))
+               .filter((F.col("cnt") != F.col("got"))
+                       | (F.col("got") != F.col("mx") + 1))
+               .limit(20).collect())
+        if bad:
+            raise B.BlockError(
+                f"fragment sets with duplicates/gaps for column {column!r}: "
+                + ", ".join(f"bucket={r['bucket']} stripe={r['stripe']} "
+                            f"(n={r['cnt']}, distinct={r['got']}, "
+                            f"max={r['mx']})" for r in bad))
+
+    out_schema = pa.schema([
+        ("bucket", pa.int64()), ("stripe", pa.int64()),
+        ("frag_idx", pa.int64()), ("n_frags", pa.int64()),
+        ("kind", pa.string()), ("chunk", pa.binary()),
+    ])
+    out_ddl = ("bucket bigint, stripe bigint, frag_idx bigint, "
+               "n_frags bigint, kind string, chunk binary")
+
+    def to_chunks(batches):
+        for batch in batches:
+            buckets = batch.column("bucket").to_pylist()
+            stripes = batch.column("stripe").to_pylist()
+            blobs = batch.column("block")
+            rows = {"bucket": [], "stripe": [], "frag_idx": [],
+                    "n_frags": [], "kind": [], "chunk": []}
+            for j in range(batch.num_rows):
+                i, n, payload, kind, _typ = B.fragment_chunk(blobs[j].as_py())
+                rows["bucket"].append(buckets[j])
+                rows["stripe"].append(stripes[j])
+                rows["frag_idx"].append(i)
+                rows["n_frags"].append(n)
+                rows["kind"].append(kind)
+                rows["chunk"].append(payload)
+            if rows["bucket"]:
+                yield pa.record_batch(
+                    [pa.array(rows[f.name], type=f.type)
+                     for f in out_schema], schema=out_schema)
+
+    return (bdf.select("bucket", "stripe", "block")
+            .mapInArrow(to_chunks, out_ddl))
+
+
 # --------------------------------------------------------------------------
 # verify
 # --------------------------------------------------------------------------

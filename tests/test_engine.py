@@ -374,3 +374,55 @@ def test_cell_fragments_property_tiny_cap(spark, tmp_path):
     assert engine.verify_roundtrip(spark, df, plan, wh)["ok"]
     blocks_df = spark.read.parquet(os.path.join(wh, "blocks"))
     assert blocks_df.filter("frag >= 0").count() >= 12 * 3  # all fragmented
+
+
+def test_decode_giant_cells_chunked(spark, tmp_path):
+    """The chunked giant-cell scale path: decode_giant_cells emits one row
+    per fragment (bounded row size, no 2 GiB arrow-scalar ceiling); sorted
+    chunks reassemble to the exact cell, and the eager metadata validation
+    catches gap/duplicate fragment sets loudly."""
+    import codecs as pycodecs
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    big = "".join(f"zeile {i}: füñky ünïcode 日本語🎉\n" for i in range(120_000))
+    rows = [("r", "giant.txt", "g1", "txt", big)] + \
+           [("r", f"s{i}.txt", f"c{i}", "txt", f"small {i}") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, df, corpus_plan(), wh, n_buckets=2,
+                        stripe_bytes=1 << 20, input_token="giantchunks")
+
+    out = engine.decode_giant_cells(spark, wh, "content")
+    got = out.orderBy("bucket", "stripe", "frag_idx").collect()
+    assert len(got) >= 4
+    n = got[0]["n_frags"]
+    assert [r["frag_idx"] for r in got] == list(range(n))
+    assert all(r["n_frags"] == n and r["kind"] == "str" for r in got)
+    # every chunk is bounded by the fragment cap (the point of the path)
+    assert all(len(r["chunk"]) <= (1 << 20) + 4096 for r in got)
+    dec = pycodecs.getincrementaldecoder("utf-8")()
+    text = "".join(dec.decode(bytes(r["chunk"])) for r in got) \
+        + dec.decode(b"", True)
+    assert text == big
+    # chunk boundaries really split multi-byte codepoints at least once
+    assert any(bytes(r["chunk"])[-1] >= 0x80 for r in got[:-1])
+
+    # inject a GAP: drop one middle fragment row from the blocks files
+    # (hive layout: blocks/bucket=N/*.parquet)
+    import glob as _glob
+
+    frag_files = 0
+    for fp in _glob.glob(os.path.join(wh, "blocks", "bucket=*", "*.parquet")):
+        t = pq.read_table(fp)
+        mask = [not (c == "content" and fr == 1)
+                for c, fr in zip(t.column("column").to_pylist(),
+                                 t.column("frag").to_pylist())]
+        if not all(mask):
+            frag_files += 1
+        pq.write_table(t.filter(pa.array(mask)), fp)
+    assert frag_files == 1
+    with pytest.raises(Exception, match="gaps|duplicate"):
+        engine.decode_giant_cells(spark, wh, "content")
