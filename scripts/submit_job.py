@@ -44,7 +44,8 @@ def _spark(args):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("action", choices=["encode", "decode", "verify", "lineage"])
+    ap.add_argument("action", choices=["encode", "decode", "decode-giant",
+                                   "verify", "lineage"])
     ap.add_argument("--input", help="input parquet path (corpus schema)")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--n-buckets", type=int, default=64)
@@ -98,6 +99,15 @@ def main() -> int:
             .write.mode("overwrite").parquet(out)
         print(json.dumps({"decoded_to": out, "columns": cols,
                           "zone_filter": list(zone) if zone else None}))
+    elif args.action == "decode-giant":
+        # chunked giant-cell decode: one parquet row per fragment — the
+        # bounded-row-size path for cells past the 2 GiB arrow ceiling
+        if not args.columns or "," in args.columns:
+            raise SystemExit("decode-giant needs --columns with ONE column")
+        out = os.path.join(args.warehouse, "giant_chunks_parquet")
+        engine.decode_giant_cells(spark, args.warehouse, args.columns) \
+            .write.mode("overwrite").parquet(out)
+        print(json.dumps({"chunks_to": out, "column": args.columns}))
     elif args.action == "verify":
         df = spark.read.parquet(args.input)
         print(json.dumps(engine.verify_roundtrip(spark, df, plan, args.warehouse)))
