@@ -651,7 +651,85 @@ def q_simhash_neardup(spark, sf_dir):
             .agg(F.count("*").cast("bigint").alias("n_pairs"),
                  F.sum(F.when(F.col("id_b") - F.col("id_a") == 1_000_000, 1)
                        .otherwise(0)).cast("bigint").alias("n_perturbed_twins"))
+            .select(F.col("hamming").cast("bigint").alias("hamming"),
+                    "n_pairs", "n_perturbed_twins")
             .orderBy("hamming"))
+
+
+def _sql_simhash_neardup() -> str:
+    """Pure-SQL re-implementation of the whole simhash pipeline (the
+    doc_winnow-oracle pattern): UTF-8 bytes via hex-pair parse, 4-byte
+    little-endian rolling shingle keys, splitmix64 in UHUGEINT mod-2^64,
+    frequency-weighted per-bit votes (64 columnar sums), signature
+    assembly from 2*s_b > cnt, then BRUTE-FORCE hamming<=3 pairs.
+
+    Oracle validity bound: exact equality with the Spark operator holds
+    while every 16-bit chunk bucket has <= max_bucket (10k) members — the
+    pigeonhole at hamming<=3 is then lossless and no Manku refinement
+    fires.  True at every oracle scale (<=1k docs incl. perturbed twins);
+    the capped regime is covered by
+    test_simhash_manku_split_recovers_capped_pairs."""
+    bit_sums = ",\n         ".join(
+        f"sum(CAST((k >> {b}) & 1 AS BIGINT)) AS s{b}" for b in range(64))
+    sig_terms = "\n       + ".join(
+        f"CASE WHEN 2*s{b} > cnt THEN CAST({1 << b} AS UBIGINT) "
+        f"ELSE CAST(0 AS UBIGINT) END" for b in range(64))
+    return f"""
+WITH src AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, text || ' t' AS text
+  FROM documents),
+b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+  FROM src),
+bytes AS (
+  SELECT doc_id, len,
+    list_transform(range(1, len + 1), i ->
+      CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
+         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17
+         AS UBIGINT)) AS bs
+  FROM b),
+raws AS (  -- 4-byte little-endian rolling keys (textops._shingle_keys, shingle=4)
+  SELECT doc_id,
+    CASE WHEN len >= 4 THEN
+      list_transform(range(1, len - 3 + 1), p ->
+        bs[p] + (bs[p+1] << 8) + (bs[p+2] << 16) + (bs[p+3] << 24))
+    ELSE
+      [coalesce(CAST(list_aggregate(
+         list_transform(range(1, least(len, 3) + 1), j -> bs[j] << CAST(8*(j-1) AS UBIGINT)),
+         'sum') AS UBIGINT), CAST(0 AS UBIGINT))]
+    END AS raw
+  FROM bytes),
+m1 AS (SELECT doc_id, list_transform(raw, x -> CAST((CAST(x AS UHUGEINT) + {_SM1}) % {_M64_SQL} AS UBIGINT)) AS ks FROM raws),
+m2 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 30)) AS ks FROM m1),
+m3 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM2}) % {_M64_SQL} AS UBIGINT)) AS ks FROM m2),
+m4 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 27)) AS ks FROM m3),
+m5 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM3}) % {_M64_SQL} AS UBIGINT)) AS ks FROM m4),
+m6 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 31)) AS ks FROM m5),
+kr AS (SELECT doc_id, unnest(ks) AS k FROM m6),
+votes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt,
+         {bit_sums}
+  FROM kr GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id,
+         {sig_terms} AS sig
+  FROM votes),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sig, b.sig)) AS h
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+SELECT CAST(h AS BIGINT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN id_b - id_a = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_perturbed_twins
+FROM pairs GROUP BY h
+"""
+
+
+SQL_SIMHASH_NEARDUP = _sql_simhash_neardup()
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -1399,7 +1477,9 @@ def _raw_registry() -> dict:
         "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMB_NEARDUP),
         "minhash_neardup": (q_minhash_neardup, None),  # rows-only (raw pairs)
         "minhash_twin_recall": (q_minhash_twin_recall, SQL_MINHASH_RECALL),
-        "simhash_neardup": (q_simhash_neardup, None),  # rows-only
+        # full SQL re-impl (shingle+splitmix64+votes+brute-force pairs);
+        # exact while no 16-bit chunk bucket exceeds max_bucket → promoted
+        "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
         "multimodal_meta": (q_multimodal_meta, SQL_MM_META),
         # fake-decode kernel fully re-implemented in SQL (crc32 table,
         # byte histograms, float32-division mirroring) → promoted
