@@ -955,6 +955,122 @@ def q_minhash_neardup(spark, sf_dir):
                                   threshold=0.5)
 
 
+def _minhash_ctes(perturb_expr: str) -> str:
+    """Shared CTE chain of the pure-SQL MinHash+LSH pipeline: 5-byte
+    shingle keys + splitmix64 (the doc_winnow byte kernel), 64 affine
+    min-hashes as columnar UHUGEINT min aggregates (mod 2^64 via AND-mask
+    — UHUGEINT %% is a 128-bit divide per row, ~80x slower; constants
+    shared with the numpy kernel via textops.minhash_constants), 16 bands
+    of 4 bucketed on the SLICE VALUES, the 2..max_bucket degenerate-bucket
+    cap, candidate self-join, and the exact signature-agreement estimate
+    (k/64 — dyadic, bit-exact in both engines).  Ends at the ``est`` CTE.
+
+    ``perturb_expr`` is the SQL text expression for the doc_id+1e6 twin
+    copies (the two consumers perturb differently).
+
+    Divergence bound: Spark buckets on murmur3(slice) rather than the
+    slice value; the results differ only if a hash collision creates a
+    candidate pair that then passes the threshold, or merges buckets past
+    the cap — neither occurs at oracle scale (asserted by parity at both
+    SFs)."""
+    from .textops import minhash_constants
+
+    A, Bc = minhash_constants(64)
+    mins = ",\n         ".join(
+        f"CAST(min(CAST((CAST(k AS UHUGEINT) * {int(A[i])} + {int(Bc[i])}) "
+        f"& {_M64_SQL - 1} AS UBIGINT)) >> 1 AS BIGINT) AS h{i}"
+        for i in range(64))
+    band_structs = ",\n      ".join(
+        "{'band': %d, 'bk': concat_ws(':', h%d, h%d, h%d, h%d)}"
+        % (i, 4 * i, 4 * i + 1, 4 * i + 2, 4 * i + 3) for i in range(16))
+    match_terms = "\n          + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(64))
+    return f"""src AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id,
+         {perturb_expr} AS text
+  FROM documents),
+b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+  FROM src),
+bytes AS (
+  SELECT doc_id, len,
+    list_transform(range(1, len + 1), i ->
+      CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
+         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17
+         AS UBIGINT)) AS bs
+  FROM b),
+raws AS (  -- 5-byte little-endian rolling keys (textops._shingle_keys)
+  SELECT doc_id,
+    CASE WHEN len >= 5 THEN
+      list_transform(range(1, len - 4 + 1), p ->
+        bs[p] + (bs[p+1] << 8) + (bs[p+2] << 16) + (bs[p+3] << 24) + (bs[p+4] << 32))
+    ELSE
+      [coalesce(CAST(list_aggregate(
+         list_transform(range(1, least(len, 4) + 1), j -> bs[j] << CAST(8*(j-1) AS UBIGINT)),
+         'sum') AS UBIGINT), CAST(0 AS UBIGINT))]
+    END AS raw
+  FROM bytes),
+m1 AS (SELECT doc_id, list_transform(raw, x -> CAST((CAST(x AS UHUGEINT) + {_SM1}) & {_M64_SQL - 1} AS UBIGINT)) AS ks FROM raws),
+m2 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 30)) AS ks FROM m1),
+m3 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM2}) & {_M64_SQL - 1} AS UBIGINT)) AS ks FROM m2),
+m4 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 27)) AS ks FROM m3),
+m5 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM3}) & {_M64_SQL - 1} AS UBIGINT)) AS ks FROM m4),
+m6 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 31)) AS ks FROM m5),
+kr AS (SELECT doc_id, unnest(ks) AS k FROM m6),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM kr GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, unnest([
+      {band_structs}
+    ], recursive := true)
+  FROM sigs),
+bcnt AS (SELECT band, bk, count(*) AS bn FROM bands GROUP BY band, bk),
+okbands AS (
+  SELECT bands.* FROM bands JOIN bcnt USING (band, bk)
+  WHERE bn BETWEEN 2 AND 200),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM okbands a JOIN okbands b USING (band, bk)
+  WHERE a.doc_id < b.doc_id),
+est AS (
+  SELECT c.id_a, c.id_b,
+         ({match_terms}) / 64.0 AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b)"""
+
+
+SQL_MINHASH_NEARDUP = f"""
+WITH {_minhash_ctes("'PERTURBED ' || text")}
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, est_jaccard
+FROM est WHERE est_jaccard >= 0.5
+"""
+
+#: dedup_near_cluster oracle: the same pipeline (twin = text || ' tail',
+#: threshold 0.5), then connected components as a recursive undirected
+#: closure (clusters are tiny at oracle scale) and min-id survivors —
+#: exactly textops.dedup_near_keep_first's contract.
+SQL_DEDUP_NEAR_CLUSTER = f"""
+WITH RECURSIVE {_minhash_ctes("text || ' tail'")},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM est WHERE est_jaccard >= 0.5
+  UNION ALL
+  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.5),
+reach(src, dst) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst),
+comp AS (SELECT src AS id, min(dst) AS comp FROM reach GROUP BY src)
+SELECT s.doc_id
+FROM src s LEFT JOIN comp c ON c.id = s.doc_id
+WHERE c.comp IS NULL OR c.comp = s.doc_id
+"""
+
+
 def q_events_window(spark, sf_dir):
     """Event-time tumbling-window aggregation over the events table —
     the batch form of the streaming windowed-agg shape (same F.window
@@ -1461,7 +1577,8 @@ def _raw_registry() -> dict:
         "codec_selection": (q_codec_selection, None),  # engine-defined
         "dedup_exact": (q_dedup_exact, SQL_DEDUP),
         "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP),
-        "dedup_near_cluster": (q_dedup_near_cluster, None),  # rows-only
+        # pairs re-impl + recursive-closure components + min-id survivors
+        "dedup_near_cluster": (q_dedup_near_cluster, SQL_DEDUP_NEAR_CLUSTER),
         "token_count": (q_token_count, SQL_TOKENS),
         "token_count_bpe": (q_token_count_bpe, SQL_TOKENS_BPE),
         "doc_quality": (q_doc_quality, SQL_QUALITY),
@@ -1475,7 +1592,9 @@ def _raw_registry() -> dict:
         "embedding_neardup": (q_embedding_neardup, SQL_EMB_NEARDUP),
         # scale path, promoted: deterministic recall 1.0 → exact-set oracle
         "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMB_NEARDUP),
-        "minhash_neardup": (q_minhash_neardup, None),  # rows-only (raw pairs)
+        # full SQL re-impl (shingles+splitmix64+64 affine mins+banding);
+        # value-bucketed bands == Spark's hashed bands at oracle scale
+        "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
         "minhash_twin_recall": (q_minhash_twin_recall, SQL_MINHASH_RECALL),
         # full SQL re-impl (shingle+splitmix64+votes+brute-force pairs);
         # exact while no 16-bit chunk bucket exceeds max_bucket → promoted

@@ -125,6 +125,16 @@ def _shingle_keys(texts, shingle: int):
     return _mix64(keys), starts[:-1], counts
 
 
+def minhash_constants(n_hashes: int = 64) -> tuple:
+    """The fixed odd-multiplier/offset pairs of the minhash affine family —
+    one derivation, shared by the numpy kernel and the pure-SQL oracle
+    (queries.SQL_MINHASH_NEARDUP inlines them as literals)."""
+    rng = np.random.default_rng(0xC01A_0B0E)
+    A = rng.integers(1, _M64, size=n_hashes, dtype=np.uint64) | np.uint64(1)
+    Bc = rng.integers(0, _M64, size=n_hashes, dtype=np.uint64)
+    return A, Bc
+
+
 def minhash_signature_batch(texts, n_hashes: int = 64, shingle: int = 5) -> list:
     """Signatures for a batch of strings; pure numpy, deterministic.
 
@@ -133,9 +143,7 @@ def minhash_signature_batch(texts, n_hashes: int = 64, shingle: int = 5) -> list
     per-document and no per-hash-inner Python loops.  (No per-document
     ``unique`` either: min over duplicates equals min over the set.)
     """
-    rng = np.random.default_rng(0xC01A_0B0E)
-    A = rng.integers(1, _M64, size=n_hashes, dtype=np.uint64) | np.uint64(1)
-    Bc = rng.integers(0, _M64, size=n_hashes, dtype=np.uint64)
+    A, Bc = minhash_constants(n_hashes)
     keys, starts, _counts = _shingle_keys(texts, shingle)
     n = len(texts)
     if n == 0:
