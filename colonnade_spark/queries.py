@@ -853,9 +853,11 @@ def q_codec_selection(spark, sf_dir):
 
         from colonnade_spark import blocks as B
         agg = {}
+        ctxs = {}  # per-column scratch: symbol tables build once per task
         for batch in batches:
             for i, nm in enumerate(batch.schema.names):
-                blk = B.encode_block(batch.column(i))
+                blk = B.encode_block(
+                    batch.column(i), ctx=ctxs.setdefault(nm, B.EncodeContext()))
                 info = B.block_info(blk)
                 cur = agg.setdefault((nm, info["codec"]),
                                      {"bytes_in": 0, "bytes_out": 0})
