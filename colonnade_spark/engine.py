@@ -457,7 +457,7 @@ def read_manifest(warehouse: str) -> dict:
 
 def decode_table(spark, warehouse: str, *, shuffle: bool = False,
                  columns: list | None = None,
-                 zone_filter: tuple | None = None):
+                 zone_filter: tuple | list | None = None):
     """Blocks → rows (the ``uncheckedRun`` analog,
     /root/reference/siphon/src/Siphon.hs:718-749, per-block not per-row).
 
@@ -478,9 +478,12 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
     ``zone_filter=(col, lo, hi)`` prunes at stripe granularity using the
     per-block zone maps (vmin/vmax written for integer columns at encode):
     only stripes whose [vmin, vmax] for ``col`` overlaps [lo, hi] are
-    decoded.  Like any zone map this returns a SUPERSET of matching rows
-    (the stripes are pre-filtered, not the rows) — apply the exact residual
-    predicate on the result.
+    decoded.  A LIST of such tuples is a conjunction: a stripe survives
+    only if every range overlaps (each predicate prunes independently, so
+    the kept set only shrinks — the multi-predicate form every real scan
+    pushdown has).  Like any zone map this returns a SUPERSET of matching
+    rows (the stripes are pre-filtered, not the rows) — apply the exact
+    residual predicate on the result.
 
     Arrow end-to-end: the earlier applyInPandas path corrupted nullable
     int64 via the pandas float64 conversion (values above 2^53); arrow
@@ -504,8 +507,10 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
     arrow_schema = to_arrow_schema(_parse_datatype_string(out_schema))
 
     blocks_df = spark.read.parquet(os.path.join(warehouse, "blocks"))
-    if zone_filter is not None:
-        zcol, lo, hi = zone_filter
+    zone_filters = ([] if zone_filter is None
+                    else [zone_filter] if isinstance(zone_filter, tuple)
+                    else list(zone_filter))
+    for zcol, lo, hi in zone_filters:  # conjunction: each range prunes
         if zcol not in all_cols:
             raise KeyError(f"zone_filter column {zcol!r} not in plan "
                            f"columns {all_cols}")

@@ -57,10 +57,12 @@ def main() -> int:
     ap.add_argument("--columns", default=None,
                     help="decode: comma-separated column subset")
     ap.add_argument("--zone", default=None, metavar="COL:LO:HI",
+                    action="append",
                     help="decode: zone-map stripe pruning on an integer or "
                          "string column (bounds parsed as ints when both "
                          "are numeric, else as strings; superset semantics "
-                         "— apply the exact filter after)")
+                         "— apply the exact filter after).  Repeatable: "
+                         "multiple --zone flags AND together")
     args = ap.parse_args()
 
     from colonnade_spark import engine
@@ -87,18 +89,18 @@ def main() -> int:
     elif args.action == "decode":
         out = os.path.join(args.warehouse, "decoded_parquet")
         cols = args.columns.split(",") if args.columns else None
-        zone = None
-        if args.zone:
-            zc, lo, hi = args.zone.split(":")
+        zone = []
+        for z in (args.zone or []):
+            zc, lo, hi = z.split(":")
             try:
-                zone = (zc, int(lo), int(hi))
+                zone.append((zc, int(lo), int(hi)))
             except ValueError:       # string zone bounds (string zone maps)
-                zone = (zc, lo, hi)
+                zone.append((zc, lo, hi))
         engine.decode_table(spark, args.warehouse, columns=cols,
-                            zone_filter=zone) \
+                            zone_filter=zone or None) \
             .write.mode("overwrite").parquet(out)
         print(json.dumps({"decoded_to": out, "columns": cols,
-                          "zone_filter": list(zone) if zone else None}))
+                          "zone_filter": [list(z) for z in zone] or None}))
     elif args.action == "decode-giant":
         # chunked giant-cell decode: one parquet row per fragment — the
         # bounded-row-size path for cells past the 2 GiB arrow ceiling

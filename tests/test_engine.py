@@ -426,3 +426,35 @@ def test_decode_giant_cells_chunked(spark, tmp_path):
     assert frag_files == 1
     with pytest.raises(Exception, match="gaps|duplicate"):
         engine.decode_giant_cells(spark, wh, "content")
+
+
+def test_multi_zone_filter_conjunction(spark, tmp_path):
+    """A LIST of zone filters ANDs: the kept stripe set is the intersection
+    of each predicate's, mixed int + string columns work together, and the
+    superset contract still holds."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    rows = [(i, langs[i // 600], f"body {i} " * 10) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, lang string, s string")
+    from colonnade_spark.plan import plan as mkplan
+    p = (mkplan().headed("k").headed("lang").headed("s")
+         .with_keys("k").with_cluster("lang", "k"))
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, df, p, wh, n_buckets=2, stripe_bytes=16 << 10,
+                        input_token="mzone")
+    single_lang = engine.decode_table(
+        spark, wh, zone_filter=("lang", "en", "en")).count()
+    single_k = engine.decode_table(
+        spark, wh, zone_filter=[("k", 700, 800)]).count()   # 1-list == tuple
+    both = engine.decode_table(
+        spark, wh, zone_filter=[("lang", "en", "en"), ("k", 700, 800)])
+    got = both.collect()
+    # conjunction prunes at least as hard as each predicate alone
+    assert len(got) <= min(single_lang, single_k)
+    # superset of the true conjunction rows (k 700..800 are all 'en')
+    ks = {r["k"] for r in got}
+    assert set(range(700, 801)) <= ks
+    assert both.filter("lang = 'en' AND k BETWEEN 700 AND 800").count() == 101
+    # a bad column anywhere in the list still fails loudly
+    with pytest.raises(KeyError, match="zone_filter"):
+        engine.decode_table(spark, wh,
+                            zone_filter=[("lang", "en", "en"), ("nope", 0, 1)])
