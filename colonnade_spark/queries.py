@@ -122,6 +122,40 @@ SQL_GIANT_CELL = ("SELECT doc_id, repeat(text, 40) AS big FROM documents "
                   "WHERE doc_id < 500")
 
 
+def q_rt_events_ts(spark, sf_dir):
+    """Engine round-trip over the EVENTS table — timestamps ride as int64
+    microseconds (auto selection: near-monotonic event times land on
+    delta/FOR-bitpack), doubles bit-exact through fbss/plain.  Broadens the
+    demonstrated engine type surface beyond the documents corpus."""
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    # ts is TIMESTAMP_NTZ: derive epoch micros timezone-free (unix_micros
+    # wants TIMESTAMP and the NTZ->TZ cast would shift by session zone)
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_id",
+                  F.expr("timestampdiff(MICROSECOND, "
+                         "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+                  .cast("bigint").alias("ts_us"),
+                  "event_type", "value"))
+
+    def rt(batches):
+        import pyarrow as pa
+
+        from colonnade_spark import blocks as B
+        for batch in batches:
+            names = batch.schema.names
+            arrs = [B.decode_block(B.encode_block(batch.column(i)))
+                    for i in range(batch.num_columns)]
+            yield pa.RecordBatch.from_arrays(arrs, names=names)
+
+    return ev.mapInArrow(rt, ev.schema)
+
+
+SQL_RT_EVENTS = ("SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+                 "event_type, value FROM events")
+
+
 def q_stats_sizecolumns(spark, sf_dir):
     """The sizeColumns stats pass (Encode.hs:177-186) as a Spark agg."""
     from pyspark.sql import functions as F
@@ -1567,6 +1601,9 @@ def _raw_registry() -> dict:
         # multi-block cells: every cell > the fragment cap round-trips
         # through encode_cell_fragments/decode_cell_fragments
         "rt_giant_cell": (q_rt_giant_cell, SQL_GIANT_CELL),
+        # events table: int64-microsecond timestamps + doubles through the
+        # engine (identity oracle on the same parquet values)
+        "rt_events_ts": (q_rt_events_ts, SQL_RT_EVENTS),
         # string zone maps: stripe pruning + residual predicate == plain SQL
         "zone_decode_strings": (q_zone_decode_strings, SQL_ZONE_DECODE),
         # stats & combinators
