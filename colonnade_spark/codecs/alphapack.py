@@ -35,11 +35,12 @@ def _alphabet(data: np.ndarray) -> np.ndarray | None:
     if data.size == 0:
         return np.zeros(0, dtype=np.uint8)
     seen = np.zeros(256, dtype=bool)
-    step = 1 << 16
-    for lo in range(0, data.size, step):
+    lo, step = 0, 1 << 16
+    while lo < data.size:  # geometric stride: lo advances by the slice size
         seen[data[lo: lo + step]] = True
         if np.count_nonzero(seen) > _MAX_ALPHA:
             return None
+        lo += step
         step = min(step << 2, 1 << 24)
     uniq = np.flatnonzero(seen)
     return uniq.astype(np.uint8)

@@ -523,6 +523,13 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
                        & (F.col("vmax") >= F.lit(int(lo)))
                        & (F.col("vmin") <= F.lit(int(hi))))
         elif ztype in ("string", "binary"):
+            for bound in (lo, hi):
+                if not isinstance(bound, (str, bytes, bytearray)):
+                    # bytes(int) is a ZERO-FILLED buffer — it would silently
+                    # prune every stripe instead of failing loudly
+                    raise TypeError(
+                        f"zone_filter on string column {zcol!r}: bounds must "
+                        f"be str/bytes, got {type(bound).__name__}")
             lob = lo.encode("utf-8") if isinstance(lo, str) else bytes(lo)
             hib = hi.encode("utf-8") if isinstance(hi, str) else bytes(hi)
             # truncated bounds only WIDEN the kept set (smin <= true min;
@@ -662,23 +669,23 @@ def decode_giant_cells(spark, warehouse: str, column: str, *,
                "n_frags bigint, kind string, chunk binary")
 
     def to_chunks(batches):
+        # ONE output batch per fragment: a stripe's fragments are adjacent
+        # rows in the scan, so batching them together would rebuild the
+        # whole multi-GiB cell in a single arrow batch and overflow 32-bit
+        # binary offsets — exactly the ceiling this surface removes.  (The
+        # input side is bounded by spark.sql.execution.arrow.maxBytesPerBatch,
+        # set in session.get_spark.)
         for batch in batches:
             buckets = batch.column("bucket").to_pylist()
             stripes = batch.column("stripe").to_pylist()
             blobs = batch.column("block")
-            rows = {"bucket": [], "stripe": [], "frag_idx": [],
-                    "n_frags": [], "kind": [], "chunk": []}
             for j in range(batch.num_rows):
                 i, n, payload, kind, _typ = B.fragment_chunk(blobs[j].as_py())
-                rows["bucket"].append(buckets[j])
-                rows["stripe"].append(stripes[j])
-                rows["frag_idx"].append(i)
-                rows["n_frags"].append(n)
-                rows["kind"].append(kind)
-                rows["chunk"].append(payload)
-            if rows["bucket"]:
+                vals = {"bucket": buckets[j], "stripe": stripes[j],
+                        "frag_idx": i, "n_frags": n, "kind": kind,
+                        "chunk": payload}
                 yield pa.record_batch(
-                    [pa.array(rows[f.name], type=f.type)
+                    [pa.array([vals[f.name]], type=f.type)
                      for f in out_schema], schema=out_schema)
 
     return (bdf.select("bucket", "stripe", "block")

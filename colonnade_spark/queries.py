@@ -690,6 +690,48 @@ def q_simhash_neardup(spark, sf_dir):
             .orderBy("hamming"))
 
 
+def _byte_key_ctes(shingle: int) -> str:
+    """Shared oracle CTE chain ``b/bytes/raws/m1..m6``: UTF-8 bytes of
+    ``src.text`` via hex-pair parse, ``shingle``-byte little-endian rolling
+    keys (textops._shingle_keys), splitmix64 in UHUGEINT with AND-mask mod
+    2^64 (UHUGEINT %% is a 128-bit divide per row, ~80x slower).  Expects a
+    ``src(doc_id, text)`` CTE upstream; ends at ``m6(doc_id, ks)``.  One
+    derivation for the simhash and minhash oracles — fix byte parsing or
+    the mix here, not per-oracle."""
+    w = shingle
+    rolling = " + ".join("bs[p]" if j == 0 else f"(bs[p+{j}] << {8 * j})"
+                         for j in range(w))
+    mask = _M64_SQL - 1
+    return f"""b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+  FROM src),
+bytes AS (
+  SELECT doc_id, len,
+    list_transform(range(1, len + 1), i ->
+      CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
+         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17
+         AS UBIGINT)) AS bs
+  FROM b),
+raws AS (  -- {w}-byte little-endian rolling keys
+  SELECT doc_id,
+    CASE WHEN len >= {w} THEN
+      list_transform(range(1, len - {w - 1} + 1), p ->
+        {rolling})
+    ELSE
+      [coalesce(CAST(list_aggregate(
+         list_transform(range(1, least(len, {w - 1}) + 1), j -> bs[j] << CAST(8*(j-1) AS UBIGINT)),
+         'sum') AS UBIGINT), CAST(0 AS UBIGINT))]
+    END AS raw
+  FROM bytes),
+m1 AS (SELECT doc_id, list_transform(raw, x -> CAST((CAST(x AS UHUGEINT) + {_SM1}) & {mask} AS UBIGINT)) AS ks FROM raws),
+m2 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 30)) AS ks FROM m1),
+m3 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM2}) & {mask} AS UBIGINT)) AS ks FROM m2),
+m4 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 27)) AS ks FROM m3),
+m5 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM3}) & {mask} AS UBIGINT)) AS ks FROM m4),
+m6 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 31)) AS ks FROM m5),
+kr AS (SELECT doc_id, unnest(ks) AS k FROM m6)"""
+
+
 def _sql_simhash_neardup() -> str:
     """Pure-SQL re-implementation of the whole simhash pipeline (the
     doc_winnow-oracle pattern): UTF-8 bytes via hex-pair parse, 4-byte
@@ -714,34 +756,7 @@ WITH src AS (
   UNION ALL
   SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, text || ' t' AS text
   FROM documents),
-b AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
-  FROM src),
-bytes AS (
-  SELECT doc_id, len,
-    list_transform(range(1, len + 1), i ->
-      CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
-         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17
-         AS UBIGINT)) AS bs
-  FROM b),
-raws AS (  -- 4-byte little-endian rolling keys (textops._shingle_keys, shingle=4)
-  SELECT doc_id,
-    CASE WHEN len >= 4 THEN
-      list_transform(range(1, len - 3 + 1), p ->
-        bs[p] + (bs[p+1] << 8) + (bs[p+2] << 16) + (bs[p+3] << 24))
-    ELSE
-      [coalesce(CAST(list_aggregate(
-         list_transform(range(1, least(len, 3) + 1), j -> bs[j] << CAST(8*(j-1) AS UBIGINT)),
-         'sum') AS UBIGINT), CAST(0 AS UBIGINT))]
-    END AS raw
-  FROM bytes),
-m1 AS (SELECT doc_id, list_transform(raw, x -> CAST((CAST(x AS UHUGEINT) + {_SM1}) % {_M64_SQL} AS UBIGINT)) AS ks FROM raws),
-m2 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 30)) AS ks FROM m1),
-m3 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM2}) % {_M64_SQL} AS UBIGINT)) AS ks FROM m2),
-m4 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 27)) AS ks FROM m3),
-m5 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM3}) % {_M64_SQL} AS UBIGINT)) AS ks FROM m4),
-m6 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 31)) AS ks FROM m5),
-kr AS (SELECT doc_id, unnest(ks) AS k FROM m6),
+{_byte_key_ctes(4)},
 votes AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt,
          {bit_sums}
@@ -864,10 +879,17 @@ agg AS (
 {f_cols}
   FROM hist GROUP BY doc_id
 )
-SELECT agg.doc_id, agg.n_bytes, crc.crc, agg.entropy_milli,
-       f0_milli, f1_milli, f2_milli, f3_milli,
-       f4_milli, f5_milli, f6_milli, f7_milli
-FROM agg JOIN crc USING (doc_id)
+SELECT doc.doc_id, CAST(doc.n AS BIGINT) AS n_bytes, crc.crc,
+       CAST(COALESCE(agg.entropy_milli, 0) AS BIGINT) AS entropy_milli,
+       CAST(COALESCE(f0_milli, 0) AS BIGINT) AS f0_milli,
+       CAST(COALESCE(f1_milli, 0) AS BIGINT) AS f1_milli,
+       CAST(COALESCE(f2_milli, 0) AS BIGINT) AS f2_milli,
+       CAST(COALESCE(f3_milli, 0) AS BIGINT) AS f3_milli,
+       CAST(COALESCE(f4_milli, 0) AS BIGINT) AS f4_milli,
+       CAST(COALESCE(f5_milli, 0) AS BIGINT) AS f5_milli,
+       CAST(COALESCE(f6_milli, 0) AS BIGINT) AS f6_milli,
+       CAST(COALESCE(f7_milli, 0) AS BIGINT) AS f7_milli
+FROM doc JOIN crc USING (doc_id) LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -1027,34 +1049,7 @@ def _minhash_ctes(perturb_expr: str) -> str:
   SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id,
          {perturb_expr} AS text
   FROM documents),
-b AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
-  FROM src),
-bytes AS (
-  SELECT doc_id, len,
-    list_transform(range(1, len + 1), i ->
-      CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
-         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17
-         AS UBIGINT)) AS bs
-  FROM b),
-raws AS (  -- 5-byte little-endian rolling keys (textops._shingle_keys)
-  SELECT doc_id,
-    CASE WHEN len >= 5 THEN
-      list_transform(range(1, len - 4 + 1), p ->
-        bs[p] + (bs[p+1] << 8) + (bs[p+2] << 16) + (bs[p+3] << 24) + (bs[p+4] << 32))
-    ELSE
-      [coalesce(CAST(list_aggregate(
-         list_transform(range(1, least(len, 4) + 1), j -> bs[j] << CAST(8*(j-1) AS UBIGINT)),
-         'sum') AS UBIGINT), CAST(0 AS UBIGINT))]
-    END AS raw
-  FROM bytes),
-m1 AS (SELECT doc_id, list_transform(raw, x -> CAST((CAST(x AS UHUGEINT) + {_SM1}) & {_M64_SQL - 1} AS UBIGINT)) AS ks FROM raws),
-m2 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 30)) AS ks FROM m1),
-m3 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM2}) & {_M64_SQL - 1} AS UBIGINT)) AS ks FROM m2),
-m4 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 27)) AS ks FROM m3),
-m5 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM3}) & {_M64_SQL - 1} AS UBIGINT)) AS ks FROM m4),
-m6 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 31)) AS ks FROM m5),
-kr AS (SELECT doc_id, unnest(ks) AS k FROM m6),
+{_byte_key_ctes(5)},
 sigs AS (
   SELECT doc_id,
          {mins}
@@ -1375,6 +1370,22 @@ GROUP BY n_name
 """
 
 
+def _split_bucket_col():
+    """doc_id -> split bucket 0..99 (first 32 bits of md5 of the decimal
+    id).  THE train/val/test contract: q_dataset_split and q_decontaminate
+    must agree, and the Spark form here must mirror _SQL_BUCKET exactly."""
+    from pyspark.sql import functions as F
+
+    return (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % 100)
+
+
+#: DuckDB mirror of _split_bucket_col (same md5-prefix bucket).
+_SQL_BUCKET = ("CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+               "AS BIGINT) % 100 AS BIGINT)")
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test assignment — the split every training
     pipeline needs to be stable across reruns and engines: bucket = first
@@ -1383,9 +1394,7 @@ def q_dataset_split(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = _read(spark, sf_dir, "documents")
-    bucket = (F.conv(F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("bigint") % 100)
+    bucket = _split_bucket_col()
     return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                         bucket.alias("bucket"))
             .withColumn("split",
@@ -1394,14 +1403,13 @@ def q_dataset_split(spark, sf_dir):
                         .otherwise("test")))
 
 
-SQL_DATASET_SPLIT = """
+SQL_DATASET_SPLIT = f"""
 SELECT doc_id, bucket,
        CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                       AS BIGINT) % 100 AS BIGINT) AS bucket
+             {_SQL_BUCKET} AS bucket
       FROM documents)
 """
 
@@ -1421,9 +1429,7 @@ def q_decontaminate(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = _read(spark, sf_dir, "documents")
-    bucket = (F.conv(F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("bigint") % 100)
+    bucket = _split_bucket_col()
     words = F.split("text", " ")
     # guard: Spark sequence(1, 0) DESCENDS ([1, 0]) — short docs need an
     # explicit empty shingle list (DuckDB's range(1, 1) is already empty)
@@ -1448,11 +1454,10 @@ def q_decontaminate(spark, sf_dir):
                      >= F.col("n_shingles")).alias("contaminated")))
 
 
-SQL_DECONTAMINATE = """
+SQL_DECONTAMINATE = f"""
 WITH base AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                   AS BIGINT) % 100 AS BIGINT) AS bucket,
+         {_SQL_BUCKET} AS bucket,
          list_distinct(list_transform(
            range(1, greatest(len(str_split(text, ' ')) - 2, 0) + 1),
            i -> array_to_string(str_split(text, ' ')[i:i+2], ' '))) AS sh

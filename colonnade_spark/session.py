@@ -42,6 +42,11 @@ def get_spark(app: str = "colonnade_spark", cores: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # cap arrow transfer batches by BYTES too: a batch of giant binary
+        # cells/fragments can overflow 32-bit binary offsets long before
+        # 8192 rows (the JVM default is effectively unlimited)
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(256 << 20))
         .config("spark.ui.enabled", str(ui).lower())
         .config("spark.log.level", "WARN")
         .getOrCreate()
