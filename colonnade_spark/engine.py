@@ -507,6 +507,11 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
     arrow_schema = to_arrow_schema(_parse_datatype_string(out_schema))
 
     blocks_df = spark.read.parquet(os.path.join(warehouse, "blocks"))
+    if "frag" not in blocks_df.columns:
+        # warehouses written before multi-block cells existed: every block
+        # is a whole-column block (back-compat, same stance as
+        # errors.validate_blocks)
+        blocks_df = blocks_df.withColumn("frag", F.lit(-1))
     zone_filters = ([] if zone_filter is None
                     else [zone_filter] if isinstance(zone_filter, tuple)
                     else list(zone_filter))

@@ -93,7 +93,8 @@ def q_rt_giant_cell(spark, sf_dir):
     ensure_shipped(spark)
     df = (_read(spark, sf_dir, "documents")
           .filter("doc_id < 500")
-          .select("doc_id", F.repeat(F.col("text"), 40).alias("big")))
+          .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                  F.repeat(F.col("text"), 40).alias("big")))
 
     cap = 4 << 10
 
@@ -118,7 +119,7 @@ def q_rt_giant_cell(spark, sf_dir):
     return df.mapInArrow(rt, df.schema)
 
 
-SQL_GIANT_CELL = ("SELECT doc_id, repeat(text, 40) AS big FROM documents "
+SQL_GIANT_CELL = ("SELECT CAST(doc_id AS BIGINT) AS doc_id, repeat(text, 40) AS big FROM documents "
                   "WHERE doc_id < 500")
 
 
@@ -286,7 +287,7 @@ def q_zone_decode_strings(spark, sf_dir):
             .select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang"))
 
 
-SQL_ZONE_DECODE = ("SELECT doc_id, lang FROM documents "
+SQL_ZONE_DECODE = ("SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents "
                    "WHERE doc_id < 3000 AND lang BETWEEN 'en' AND 'es'")
 
 

@@ -50,10 +50,16 @@ def asof_join(left, right, on: list, ts: str, right_cols: list):
     w = (Window.partitionBy(*on)
          .orderBy(F.col(ts).asc(), F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # carry the latest right ROW as one struct: per-column last-non-null
+    # would skip a genuinely NULL right value and mix columns from
+    # different right rows (the struct itself is non-null whenever a right
+    # row exists, even if every field in it is null)
+    row_struct = F.when(F.col("__side") == 0,
+                        F.struct(*[F.col(c) for c in right_cols]))
+    u = u.withColumn("__asof", F.last(row_struct, ignorenulls=True).over(w))
     for c in right_cols:
-        u = u.withColumn(c, F.last(F.when(F.col("__side") == 0, F.col(c)),
-                                   ignorenulls=True).over(w))
-    return u.filter(F.col("__side") == 1).drop("__side")
+        u = u.withColumn(c, F.col("__asof")[c])
+    return u.filter(F.col("__side") == 1).drop("__side", "__asof")
 
 
 def range_join(left, intervals, on: list, ts: str, start: str = "start",

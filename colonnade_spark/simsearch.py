@@ -232,6 +232,11 @@ def ivf_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
     if train == "distributed":
         centroids = train_centroids_distributed(
             corpus_df.select(F.col(vec_col)), vec_col, dim, n_cells)
+    elif train != "sample":
+        raise ValueError(
+            f"ivf_topk train={train!r}: expected 'sample' or 'distributed'"
+            " (a typo here silently falling back to the driver-collect"
+            " trainer is exactly what this guard prevents)")
     else:
         sample_rows = (corpus_df.select(F.col(id_col).alias("_i"),
                                         F.expr(_dbl(vec_col)).alias("_e"))

@@ -168,12 +168,17 @@ def _materialize(df, path: str | None = None):
     downstream consumer scans the materialized table instead of re-running
     the Python signature kernel per consumer or holding executor memory
     hostage.  ``path`` points into a warehouse on a real deployment; the
-    default is a session temp dir (same layout)."""
+    default is a process temp dir, removed at interpreter exit (the files
+    must outlive the returned lazy DataFrame, so eager cleanup is wrong —
+    callers that need tighter lifetimes pass ``path`` and own it)."""
+    import atexit
+    import shutil
     import tempfile
 
     spark = df.sparkSession
     if path is None:
         path = tempfile.mkdtemp(prefix="colonnade_sigs_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -418,6 +423,13 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
                                           F.col("id_a").alias("v")))
              .distinct().cache())
     labels = ids.select("id", F.col("id").alias("comp")).cache()
+    sc = ids_df.sparkSession.sparkContext
+
+    def _persisted_ids():
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+
+    first_round_cache = labels
+    prev_ckpt_ids: set = set()
     converged = False
     for _ in range(max_iters):
         nbr_min = (edges.join(labels, edges.v == labels.id)
@@ -426,17 +438,34 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
         # check is a local scan of the checkpointed result, not a second
         # new⋈old shuffle join.  localCheckpoint = materialize AND truncate
         # lineage (cache alone keeps the growing join tree in the plan).
+        before = _persisted_ids()
         upd = (labels.join(nbr_min, labels.id == nbr_min.u, "left")
                .select("id", F.col("comp").alias("old_comp"),
                        F.least("comp", F.coalesce("nbr_comp", "comp"))
                        .alias("comp"))
                .localCheckpoint(eager=True))
+        new_ckpt_ids = _persisted_ids() - before
         changed = upd.filter("comp <> old_comp").limit(1).count()
-        labels.unpersist()
+        # release the SUPERSEDED round's storage.  DataFrame.unpersist()
+        # does NOT free localCheckpoint blocks (verified: storage info
+        # still lists them) — they must be unpersisted via the underlying
+        # RDD; the new eager checkpoint holds its own copy, so the old
+        # blocks are dead weight from here on.
+        if first_round_cache is not None:
+            first_round_cache.unpersist()
+            first_round_cache = None
+        jmap = sc._jsc.sc().getPersistentRDDs()
+        for rid in prev_ckpt_ids:
+            try:
+                jmap.apply(rid).unpersist(False)
+            except Exception:
+                pass  # already cleaned by the ContextCleaner
+        prev_ckpt_ids = new_ckpt_ids
         labels = upd.select("id", "comp")
         if changed == 0:
             converged = True
             break
+    edges.unpersist()  # the returned labels read the final checkpoint only
     if not converged and on_max_iters != "ignore":
         msg = (f"connected_components exited at max_iters={max_iters} without "
                f"a fixed point: some component's labels are split (a cluster "

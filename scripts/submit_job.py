@@ -90,12 +90,20 @@ def main() -> int:
         out = os.path.join(args.warehouse, "decoded_parquet")
         cols = args.columns.split(",") if args.columns else None
         zone = []
-        for z in (args.zone or []):
-            zc, lo, hi = z.split(":")
-            try:
-                zone.append((zc, int(lo), int(hi)))
-            except ValueError:       # string zone bounds (string zone maps)
-                zone.append((zc, lo, hi))
+        if args.zone:
+            # parse bounds by the COLUMN'S type (a numeric-looking bound on
+            # a string column must stay a string — int bounds there are a
+            # loud TypeError in the engine)
+            manifest = engine.read_manifest(args.warehouse)
+            ddl = manifest["schema_ddl"].replace("struct<", "").rstrip(">")
+            types = dict(part.rsplit(":", 1) for part in ddl.split(","))
+            for z in args.zone:
+                zc, lo, hi = z.split(":")
+                if types.get(zc, "").strip() in ("tinyint", "smallint",
+                                                 "int", "bigint"):
+                    zone.append((zc, int(lo), int(hi)))
+                else:
+                    zone.append((zc, lo, hi))
         engine.decode_table(spark, args.warehouse, columns=cols,
                             zone_filter=zone or None) \
             .write.mode("overwrite").parquet(out)

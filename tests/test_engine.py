@@ -458,3 +458,24 @@ def test_multi_zone_filter_conjunction(spark, tmp_path):
     with pytest.raises(KeyError, match="zone_filter"):
         engine.decode_table(spark, wh,
                             zone_filter=[("lang", "en", "en"), ("nope", 0, 1)])
+
+
+def test_decode_pre_fragment_warehouse_backcompat(spark, tmp_path):
+    """Review regression: warehouses written before the multi-block-cell
+    change have no 'frag' column — both decode paths must still read them
+    (every block is a whole-column block)."""
+    import pyarrow.parquet as pq
+
+    rows = [("r", f"p{i}", f"c{i}", "py", f"small body {i} " * 10)
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, df, corpus_plan(), wh, n_buckets=2,
+                        input_token="bc")
+    for fp in glob.glob(os.path.join(wh, "blocks", "bucket=*", "*.parquet")):
+        t = pq.read_table(fp)
+        assert max(t.column("frag").to_pylist()) == -1   # truly frag-free
+        pq.write_table(t.drop_columns(["frag"]), fp, compression="NONE")
+    assert engine.decode_table(spark, wh).count() == 300
+    assert engine.decode_table(spark, wh, shuffle=True).count() == 300

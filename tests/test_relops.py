@@ -107,3 +107,35 @@ def test_range_join_matches_brute_force_and_plan(spark, temporal):
     # empty/degenerate intervals are ignored
     degen = ivals.withColumn("end", F.col("start"))
     assert range_join(ev, degen, ["user_id"], "ts").count() == 0
+
+
+def test_asof_join_null_right_values_pick_latest_row(spark):
+    """Review regression: a NULL in a right column must come through as
+    NULL when its row is the as-of match — per-column last-non-null would
+    skip it and mix columns from different right rows."""
+    from pyspark.sql import functions as F
+
+    from colonnade_spark.relops import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 30, "L")], "k int, ts int, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 1, 2), (1, 20, None, 3)], "k int, ts int, a int, b int")
+    out = asof_join(left.withColumn("ts", F.col("ts").cast("timestamp")),
+                    right.withColumn("ts", F.col("ts").cast("timestamp")),
+                    on=["k"], ts="ts", right_cols=["a", "b"]).collect()
+    assert len(out) == 1
+    # the t=20 row is the latest as-of row: a must be NULL (not the stale
+    # 1 from t=10), b must be 3 — one row, atomically
+    assert out[0]["a"] is None and out[0]["b"] == 3
+    # duckdb native ASOF agrees
+    import duckdb
+    con = duckdb.connect()
+    got = con.execute("""
+      WITH l AS (SELECT 1 k, to_timestamp(30) ts),
+           r AS (SELECT * FROM (VALUES (1, to_timestamp(10), 1, 2),
+                                       (1, to_timestamp(20), NULL, 3))
+                 t(k, ts, a, b))
+      SELECT r.a, r.b FROM l ASOF LEFT JOIN r
+        ON l.k = r.k AND l.ts >= r.ts""").fetchone()
+    assert got == (None, 3)

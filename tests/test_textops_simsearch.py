@@ -335,3 +335,25 @@ def test_connected_components_and_near_dedup(spark, docs):
     n_pert_kept = sum(1 for i in kept_ids if i >= 1_000_000)
     assert len(kept_ids) <= 105          # ~one per cluster (plus stragglers)
     assert n_pert_kept <= 5              # originals win (min id)
+
+
+def test_connected_components_releases_superseded_storage(spark):
+    """Review regression: each round's localCheckpoint blocks must be
+    released when superseded (DataFrame.unpersist alone does NOT free
+    them) — storage stays O(one labels table) however many rounds run."""
+    from colonnade_spark.textops import connected_components
+
+    sc = spark.sparkContext
+    # long chain → many propagation rounds
+    n = 40
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)],
+        "id_a long, id_b long, est_jaccard double")
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    comp = connected_components(ids, pairs, max_iters=50)
+    rows = comp.collect()
+    assert {r["comp"] for r in rows} == {0}          # one chain component
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    # only the FINAL round's checkpoint (and nothing per-round) remains
+    assert after - before <= 1, (before, after)
