@@ -648,8 +648,10 @@ def decode_giant_cells(spark, warehouse: str, column: str, *,
     """
     from pyspark.sql import functions as F
 
-    bdf = (spark.read.parquet(os.path.join(warehouse, "blocks"))
-           .filter((F.col("column") == column) & (F.col("frag") >= 0)))
+    bdf = spark.read.parquet(os.path.join(warehouse, "blocks"))
+    if "frag" not in bdf.columns:  # pre-fragment warehouse: nothing to do
+        bdf = bdf.withColumn("frag", F.lit(-1))
+    bdf = bdf.filter((F.col("column") == column) & (F.col("frag") >= 0))
     if validate:
         bad = (bdf.groupBy("bucket", "stripe")
                .agg(F.count("*").alias("cnt"),

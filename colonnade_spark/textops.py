@@ -424,12 +424,8 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
              .distinct().cache())
     labels = ids.select("id", F.col("id").alias("comp")).cache()
     sc = ids_df.sparkSession.sparkContext
-
-    def _persisted_ids():
-        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
-
     first_round_cache = labels
-    prev_ckpt_ids: set = set()
+    prev_ckpt_rdd_id = None
     converged = False
     for _ in range(max_iters):
         nbr_min = (edges.join(labels, edges.v == labels.id)
@@ -438,13 +434,16 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
         # check is a local scan of the checkpointed result, not a second
         # new⋈old shuffle join.  localCheckpoint = materialize AND truncate
         # lineage (cache alone keeps the growing join tree in the plan).
-        before = _persisted_ids()
         upd = (labels.join(nbr_min, labels.id == nbr_min.u, "left")
                .select("id", F.col("comp").alias("old_comp"),
                        F.least("comp", F.coalesce("nbr_comp", "comp"))
                        .alias("comp"))
                .localCheckpoint(eager=True))
-        new_ckpt_ids = _persisted_ids() - before
+        # the checkpoint's OWN backing RDD, read off its LogicalRDD plan —
+        # never a global storage-listing diff, which would capture (and
+        # later wrongly unpersist) whatever else first materialized during
+        # this round's job, e.g. the edges cache above.
+        ckpt_rdd_id = int(upd._jdf.queryExecution().analyzed().rdd().id())
         changed = upd.filter("comp <> old_comp").limit(1).count()
         # release the SUPERSEDED round's storage.  DataFrame.unpersist()
         # does NOT free localCheckpoint blocks (verified: storage info
@@ -454,13 +453,13 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
         if first_round_cache is not None:
             first_round_cache.unpersist()
             first_round_cache = None
-        jmap = sc._jsc.sc().getPersistentRDDs()
-        for rid in prev_ckpt_ids:
+        if prev_ckpt_rdd_id is not None:
             try:
-                jmap.apply(rid).unpersist(False)
+                (sc._jsc.sc().getPersistentRDDs()
+                 .apply(prev_ckpt_rdd_id).unpersist(False))
             except Exception:
                 pass  # already cleaned by the ContextCleaner
-        prev_ckpt_ids = new_ckpt_ids
+        prev_ckpt_rdd_id = ckpt_rdd_id
         labels = upd.select("id", "comp")
         if changed == 0:
             converged = True

@@ -59,10 +59,10 @@ def main() -> int:
     ap.add_argument("--zone", default=None, metavar="COL:LO:HI",
                     action="append",
                     help="decode: zone-map stripe pruning on an integer or "
-                         "string column (bounds parsed as ints when both "
-                         "are numeric, else as strings; superset semantics "
-                         "— apply the exact filter after).  Repeatable: "
-                         "multiple --zone flags AND together")
+                         "string column (bounds parsed per the column's "
+                         "manifest type; superset semantics — apply the "
+                         "exact filter after).  Repeatable: multiple "
+                         "--zone flags AND together")
     args = ap.parse_args()
 
     from colonnade_spark import engine
@@ -94,13 +94,17 @@ def main() -> int:
             # parse bounds by the COLUMN'S type (a numeric-looking bound on
             # a string column must stay a string — int bounds there are a
             # loud TypeError in the engine)
+            from pyspark.sql.types import _parse_datatype_string
+
             manifest = engine.read_manifest(args.warehouse)
             ddl = manifest["schema_ddl"].replace("struct<", "").rstrip(">")
-            types = dict(part.rsplit(":", 1) for part in ddl.split(","))
+            schema = _parse_datatype_string(ddl)
+            types = {f.name: f.dataType.simpleString()
+                     for f in schema.fields}
             for z in args.zone:
                 zc, lo, hi = z.split(":")
-                if types.get(zc, "").strip() in ("tinyint", "smallint",
-                                                 "int", "bigint"):
+                if types.get(zc, "") in ("tinyint", "smallint",
+                                         "int", "bigint"):
                     zone.append((zc, int(lo), int(hi)))
                 else:
                     zone.append((zc, lo, hi))
