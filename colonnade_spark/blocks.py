@@ -237,10 +237,18 @@ def iter_cell_fragments(frames, meta_out: dict | None = None):
             raise BlockError("inconsistent fragment set (mixed cells?)")
         if i < nxt or i in pending:
             raise BlockError(f"duplicate cell fragment {i}/{nfrag}")
+        if i >= nfrag:
+            # would sit in `pending` forever and the nxt==nfrag completeness
+            # check would still pass — reject corrupt indexes on arrival
+            raise BlockError(f"cell fragment index {i} out of range "
+                             f"(set has {nfrag} fragments)")
         pending[i] = payload
         while nxt in pending:
             yield pending.pop(nxt)
             nxt += 1
+    if pending:
+        raise BlockError(f"stray cell fragments never yielded: "
+                         f"{sorted(pending)}")
     if nfrag is None or nxt != nfrag:
         missing = sorted(set(range(nfrag or 0)) - set(range(nxt))
                          - set(pending))

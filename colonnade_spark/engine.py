@@ -283,10 +283,19 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
                 if pa.types.is_integer(arr.type):
                     mm = pc.min_max(arr)
                     vmin, vmax = mm["min"].as_py(), mm["max"].as_py()
-                elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+                elif (pa.types.is_string(arr.type) or pa.types.is_binary(arr.type)
+                      or pa.types.is_large_string(arr.type)
+                      or pa.types.is_large_binary(arr.type)):
                     # byte-order min/max (matches Spark's UTF8String/binary
-                    # comparison), then parquet-style truncation
-                    mm = pc.min_max(arr.cast(pa.binary()))
+                    # comparison), then parquet-style truncation.  large_*
+                    # types included to match the fragment branch's accepted
+                    # set — a large-typed whole block without smin would be
+                    # silently pruned by string zone filters (row loss).
+                    cast_to = (pa.large_binary()
+                               if (pa.types.is_large_string(arr.type)
+                                   or pa.types.is_large_binary(arr.type))
+                               else pa.binary())
+                    mm = pc.min_max(arr.cast(cast_to))
                     smin, smax = _zone_str_bounds(mm["min"].as_py(),
                                                   mm["max"].as_py())
             rows_out.append((stripe, name, info["codec"], -1, len(arr),

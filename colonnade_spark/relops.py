@@ -34,6 +34,12 @@ def asof_join(left, right, on: list, ts: str, right_cols: list):
     Determinism: the right side must be unique per ``(on, ts)`` —
     pre-aggregate it (e.g. ``max_by``) if it is not; with duplicates the
     window's pick among equal timestamps is tie-ambiguous.
+
+    NULL timestamps follow DuckDB ASOF semantics (``l.ts >= r.ts`` is never
+    true through NULL): right rows with NULL ``ts`` can never be a match and
+    are dropped before the union; left rows with NULL ``ts`` sort before
+    every surviving right row (Spark NULLS FIRST), so they come out with
+    NULL match columns.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -42,7 +48,8 @@ def asof_join(left, right, on: list, ts: str, right_cols: list):
     if overlap:
         raise ValueError(f"right_cols collide with left columns: {overlap}")
     l = left.withColumn("__side", F.lit(1))
-    r = (right.select(*on, ts, *right_cols)
+    r = (right.filter(F.col(ts).isNotNull())
+         .select(*on, ts, *right_cols)
          .withColumn("__side", F.lit(0)))
     u = l.unionByName(r, allowMissingColumns=True)
     # right rows sort BEFORE left rows at equal ts → inclusive (>=) match,

@@ -442,8 +442,14 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
         # the checkpoint's OWN backing RDD, read off its LogicalRDD plan —
         # never a global storage-listing diff, which would capture (and
         # later wrongly unpersist) whatever else first materialized during
-        # this round's job, e.g. the edges cache above.
-        ckpt_rdd_id = int(upd._jdf.queryExecution().analyzed().rdd().id())
+        # this round's job, e.g. the edges cache above.  Goes through py4j
+        # private paths, so guard it: if a Spark upgrade moves them, degrade
+        # to leaking the superseded checkpoint blocks (ContextCleaner
+        # reclaims them eventually) rather than failing every CC call.
+        try:
+            ckpt_rdd_id = int(upd._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:
+            ckpt_rdd_id = None
         changed = upd.filter("comp <> old_comp").limit(1).count()
         # release the SUPERSEDED round's storage.  DataFrame.unpersist()
         # does NOT free localCheckpoint blocks (verified: storage info

@@ -97,8 +97,9 @@ def main() -> int:
             from pyspark.sql.types import _parse_datatype_string
 
             manifest = engine.read_manifest(args.warehouse)
-            ddl = manifest["schema_ddl"].replace("struct<", "").rstrip(">")
-            schema = _parse_datatype_string(ddl)
+            # _parse_datatype_string accepts the struct<...> form directly;
+            # string-munging it corrupts nested array<>/map<>/struct<> types
+            schema = _parse_datatype_string(manifest["schema_ddl"])
             types = {f.name: f.dataType.simpleString()
                      for f in schema.fields}
             for z in args.zone:

@@ -377,3 +377,34 @@ def test_iter_cell_fragments_streams_bounded():
     # duplicates raise even for an already-yielded index
     with pytest.raises(BlockError, match="duplicate"):
         list(iter_cell_fragments(frames + [frames[0]]))
+
+def test_cell_fragment_out_of_range_index_is_loud():
+    """Review regression: a corrupt fragment whose index >= nfrag used to be
+    silently buffered forever — the completeness check passed when the
+    genuine set was also present.  Both defenses must fire: on-arrival
+    index range check, and no-stray-pending at exhaustion."""
+    import zlib
+
+    import pyarrow as pa
+    import pytest
+
+    from colonnade_spark.blocks import (BlockError, decode_cell_fragments,
+                                        encode_cell_fragments, fragment_chunk,
+                                        reattach_header, strip_header)
+
+    frames = encode_cell_fragments(pa.array(["x" * 5000]), 1024)
+    n = len(frames)
+    assert n >= 4
+    # forge a fragment claiming index n (out of range) in this n-fragment
+    # set by patching a genuine fragment's header (crc stays valid — the
+    # corruption is in the index, which crc does not cover)
+    manifest, payload = strip_header(frames[0])
+    manifest["f"] = [n, n + 1]
+    forged = reattach_header(manifest, payload)
+    i, nf, _, _, _ = fragment_chunk(forged)
+    assert (i, nf) == (n, n + 1)
+    # same-nfrag forgery → the on-arrival range check must fire
+    manifest["f"] = [n, n]
+    forged_same_n = reattach_header(manifest, payload)
+    with pytest.raises(BlockError, match="out of range"):
+        decode_cell_fragments(frames + [forged_same_n])
