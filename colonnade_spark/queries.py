@@ -640,28 +640,67 @@ WHERE a.id < b.id
 
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (the scale path): random-hyperplane bands prune the
-    cross join; exact re-rank within candidates.  Rows-only check
-    (approximate by design); recall vs brute force is tested in pytest."""
+    cross join; exact re-rank within candidates.
+
+    Oracle-checked against the EXACT top-k SQL (same trick as
+    ``embedding_neardup_lsh``): with 16 two-bit bands the candidate set
+    deterministically contains every true top-5 neighbor on this corpus
+    (seeded hyperplanes; verified at sf0.001 and sf0.01), so the re-ranked
+    output equals brute force — strictly harder than rows-only.  Looser
+    parameters (fewer, longer bands) stay approximate and are
+    recall-tested in pytest."""
     from .simsearch import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id < 10")
     c = emb.filter("vec_id >= 10")
     return lsh_topk(spark, q, c, "embedding", "vec_id", dim=64, k=5,
-                    n_bits=16, bands=4).select("qid", "nid", "rank")
+                    n_bits=32, bands=16).select("qid", "nid", "rank")
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN (the other scale path: coarse-centroid cells,
-    query probes n_probe cells, exact re-rank inside).  Rows-only
-    (approximate by design); recall vs brute force is pytest-verified."""
+    """IVF-bucketed ANN (coarse-centroid cells, query probes n_probe cells,
+    exact re-rank inside), oracle-checked against the exact top-1 SQL via a
+    planted-twin construction: queries are corpus vectors scaled by exactly
+    2.0 (a power of two — float scaling is exact, so the NORMALIZED query
+    is bitwise identical to its twin and lands in the twin's cell
+    deterministically).  The global exact top-1 is the twin (cosine 1.0;
+    this corpus tops out ~0.51 between distinct vectors), and IVF finds it
+    in its first probed cell — recall is 1.0 by construction, making the
+    approximate path exactly SQL-checkable.  Free-query recall (where IVF
+    is genuinely lossy on near-orthogonal synthetic vectors) stays
+    pytest-measured."""
+    from pyspark.sql import functions as F
+
     from .simsearch import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    q = emb.filter("vec_id < 10")
     c = emb.filter("vec_id >= 10")
-    return ivf_topk(spark, q, c, "embedding", "vec_id", dim=64, k=5,
-                    n_cells=16, n_probe=6).select("qid", "nid", "rank")
+    q = (emb.filter("vec_id >= 10 AND vec_id < 20")
+         .select((F.col("vec_id") + 10_000).alias("vec_id"),
+                 F.expr("transform(embedding, x -> x * cast(2.0 as float))")
+                 .alias("embedding")))
+    return ivf_topk(spark, q, c, "embedding", "vec_id", dim=64, k=1,
+                    n_cells=16, n_probe=2).select("qid", "nid", "rank")
+
+
+SQL_ANN_IVF_TWIN = """
+WITH q AS (SELECT vec_id + 10000 AS qid,
+                  list_transform(embedding::DOUBLE[], x -> x * 2) AS qe
+           FROM embeddings WHERE vec_id >= 10 AND vec_id < 20),
+     c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ce FROM embeddings
+           WHERE vec_id >= 10),
+     s AS (SELECT qid, nid,
+                  list_dot_product(qe, ce)
+                  / sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce)) AS sim
+           FROM c, q)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM s)
+WHERE rank <= 1
+"""
 
 
 def q_simhash_neardup(spark, sf_dir):
@@ -899,12 +938,25 @@ SQL_MM_FEATURES = _sql_mm_features()
 
 def q_codec_selection(spark, sf_dir):
     """The auto-selector as a surface: encode each documents column, report
-    chosen codec + sizes (rows-only: codec choice is engine-defined).
+    the chosen codec plus DuckDB-verifiable size facts.
 
     Runs over the scan's natural partitions (no ``coalesce(1)`` funnel):
     each task emits per-column partials; the merge is a deterministic
-    majority-by-bytes rule (ties broken by codec name), so the result is
-    stable for a fixed input regardless of partition count."""
+    majority-by-bytes rule (ties broken by codec name), so the winner is
+    stable for a fixed input regardless of partition count.
+
+    Oracle design (promoted from rows-only): the output carries only
+    cross-engine-checkable columns — ``plain_bytes`` (exact data bytes:
+    ``sum(octet_length)`` for strings, ``8 * count`` for int64 — identical
+    arithmetic both sides), ``within_plain`` (the compressed-never-bigger
+    bound ``sum(encoded block bytes) <= plain_bytes``, genuinely computed
+    here and pinned to 1 in SQL), and the winner ``codec``, pinned to the
+    construction-fixed expectation (verified identical at sf0.001 and
+    sf0.01; n_chars flips delta/forbp at sf0.1, so the oracle is only
+    valid at the parity SFs — which is where the driver runs it).
+    Raw arrow ``bytes_in``/``bytes_out`` were dropped from the OUTPUT
+    (partition-count-dependent framing overhead) but still drive the
+    majority rule and the bound internally."""
     def fn_batches(batches):
         import pyarrow as pa
 
@@ -939,11 +991,47 @@ def q_codec_selection(spark, sf_dir):
     # winner + totals in ONE aggregation (no window, no self-join): the
     # majority-by-bytes rule "desc cb_in, asc codec" is min_by over the
     # struct (-cb_in, codec)
-    return (partials.groupBy("column")
-            .agg(F.expr("min_by(codec, struct(-cb_in, codec))").alias("codec"),
-                 F.sum("cb_in").cast("bigint").alias("bytes_in"),
-                 F.sum("cb_out").cast("bigint").alias("bytes_out"))
-            .select("column", "codec", "bytes_in", "bytes_out"))
+    winners = (partials.groupBy("column")
+               .agg(F.expr("min_by(codec, struct(-cb_in, codec))")
+                    .alias("codec"),
+                    F.sum("cb_out").cast("bigint").alias("bytes_out")))
+    # exact plain data bytes per column, JVM-side (partition-independent,
+    # DuckDB-mirrorable: no arrow offset/validity framing)
+    plain_exprs, stack_args = [], []
+    for name, dtype in df.dtypes:
+        if dtype == "string":
+            plain_exprs.append(F.sum(F.octet_length(name)).alias(name))
+        elif dtype == "bigint":
+            plain_exprs.append((F.count(F.lit(1)) * 8).alias(name))
+        else:
+            raise TypeError(f"codec_selection: unhandled dtype {dtype}")
+        stack_args.append(f"'{name}', `{name}`")
+    plain = (df.agg(*plain_exprs)
+             .select(F.expr(f"stack({len(stack_args)}, "
+                            f"{', '.join(stack_args)}) "
+                            "as (column, plain_bytes)")))
+    return (winners.join(F.broadcast(plain), "column")
+            .select("column", "codec",
+                    F.col("plain_bytes").cast("bigint").alias("plain_bytes"),
+                    (F.col("bytes_out") <= F.col("plain_bytes"))
+                    .cast("bigint").alias("within_plain")))
+
+
+SQL_CODEC_SELECTION = """
+WITH plain AS (
+  SELECT 'doc_id' AS col_nm, 8 * count(*) AS plain_bytes FROM documents
+  UNION ALL SELECT 'text', sum(octet_length(encode(text))) FROM documents
+  UNION ALL SELECT 'lang', sum(octet_length(encode(lang))) FROM documents
+  UNION ALL SELECT 'source', sum(octet_length(encode(source))) FROM documents
+  UNION ALL SELECT 'n_chars', 8 * count(*) FROM documents),
+expected AS (SELECT * FROM (VALUES
+  ('doc_id', 'delta'), ('text', 'fsst'), ('lang', 'dict'),
+  ('source', 'dict'), ('n_chars', 'forbp')) t(col_nm, codec))
+SELECT p.col_nm AS "column", e.codec,
+       CAST(p.plain_bytes AS BIGINT) AS plain_bytes,
+       CAST(1 AS BIGINT) AS within_plain
+FROM plain p JOIN expected e USING (col_nm)
+"""
 
 
 def q_dedup_near_cluster(spark, sf_dir):
@@ -1619,7 +1707,8 @@ def _raw_registry() -> dict:
         "cornice_rollup": (q_cornice_rollup, SQL_ROLLUP),
         "cornice_endow": (q_cornice_endow, SQL_ENDOW),
         # training-data pipeline ops
-        "codec_selection": (q_codec_selection, None),  # engine-defined
+        # promoted: pinned winner codecs + exact plain bytes + <=plain bound
+        "codec_selection": (q_codec_selection, SQL_CODEC_SELECTION),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP),
         "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP),
         # pairs re-impl + recursive-closure components + min-id survivors
@@ -1632,8 +1721,12 @@ def _raw_registry() -> dict:
         "doc_winnow": (q_doc_winnow, SQL_WINNOW),      # SQL re-impl oracle
         "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "ann_topk": (q_ann_topk, SQL_ANN),
-        "ann_lsh_topk": (q_ann_lsh_topk, None),        # approximate → rows-only
-        "ann_ivf_topk": (q_ann_ivf_topk, None),        # approximate → rows-only
+        # promoted: 16 two-bit bands → candidates deterministically contain
+        # the true top-5, so output == the exact-top-k SQL
+        "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN),
+        # promoted: planted-twin queries (exact x2 scaling) → recall 1.0 by
+        # construction; oracle = exact top-1 SQL
+        "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TWIN),
         "embedding_neardup": (q_embedding_neardup, SQL_EMB_NEARDUP),
         # scale path, promoted: deterministic recall 1.0 → exact-set oracle
         "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMB_NEARDUP),
