@@ -161,3 +161,169 @@ def generate_corpus(spark, n_files: int, seed: int = 42, partitions: int | None 
                 yield generate_batch(ids, seed)
 
     return spark.range(0, n_files, numPartitions=parts).mapInArrow(gen, out_schema)
+
+
+# --------------------------------------------------------------------------
+# geolite micro-fixtures (FIXTURES.md §3-4) — the reference's only
+# real-world schemas (/root/reference/geolite-csv/src/Geolite/Types.hs:7-42,
+# Csv.hs:18-57), generated deterministically from the row index with
+# arithmetic that both Spark SQL and DuckDB evaluate identically (integer
+# div/mod, concat, lpad) so the oracle side can re-derive every value.
+# --------------------------------------------------------------------------
+
+GEOLITE_ROWS = 2000
+
+_CONTINENTS = [("AF", "Africa"), ("AS", "Asia"), ("EU", "Europe"),
+               ("NA", "North America"), ("OC", "Oceania"),
+               ("SA", "South America")]
+_COUNTRIES = [("DE", "Germany"), ("FR", "France"), ("JP", "Japan"),
+              ("US", "United States"), ("BR", "Brazil"), ("AU", "Australia"),
+              ("IN", "India"), ("GB", "United Kingdom")]
+_TIME_ZONES = ["Europe/Berlin", "Europe/Paris", "Asia/Tokyo",
+               "America/New_York", "America/Sao_Paulo", "Australia/Sydney"]
+
+
+def generate_geolite_blocks(spark):
+    """`geolite_blocks` per FIXTURES.md §3 (Geolite/Types.hs:31-42): CIDR
+    strings, three nullable geoname ids (one mostly-null/sparse), "1"/"0"
+    boolean flags (Csv.hs:49-50), many-empty postal codes, Fixed-E4
+    latitude/longitude carried as nullable int64 1e-4 units (Types.hs:7-10
+    `Fixed E4` IS an integer of 1e-4 units — the engine encodes the fixed
+    point, presentation divides), small nullable ints for accuracy_radius."""
+    from pyspark.sql import functions as F
+
+    return spark.range(0, GEOLITE_ROWS).select(
+        F.expr("concat(cast((id div 65536) % 256 as string), '.',"
+               " cast((id div 256) % 256 as string), '.',"
+               " cast(id % 256 as string), '.0/24')").alias("network"),
+        F.expr("CASE WHEN id % 10 = 0 THEN NULL"
+               " ELSE 5000000 + id * 3 END").cast("bigint")
+        .alias("geoname_id"),
+        F.expr("CASE WHEN id % 7 = 0 THEN NULL"
+               " ELSE 5000000 + (id * 5) % 1000 END").cast("bigint")
+        .alias("registered_country_geoname_id"),
+        F.expr("CASE WHEN id % 50 = 0 THEN 6000000 + id"
+               " ELSE NULL END").cast("bigint")
+        .alias("represented_country_geoname_id"),
+        F.expr("CASE WHEN id % 37 = 0 THEN '1' ELSE '0' END")
+        .alias("is_anonymous_proxy"),
+        F.expr("CASE WHEN id % 41 = 0 THEN '1' ELSE '0' END")
+        .alias("is_satellite_provider"),
+        F.expr("CASE WHEN id % 3 = 0 THEN ''"
+               " ELSE lpad(cast((id * 7919) % 100000 as string), 5, '0') END")
+        .alias("postal_code"),
+        F.expr("CASE WHEN id % 11 = 0 THEN NULL"
+               " ELSE (id * 877) % 1800001 - 900000 END").cast("bigint")
+        .alias("latitude_e4"),
+        F.expr("CASE WHEN id % 13 = 0 THEN NULL"
+               " ELSE (id * 1583) % 3600001 - 1800000 END").cast("bigint")
+        .alias("longitude_e4"),
+        F.expr("CASE WHEN id % 17 = 0 THEN NULL"
+               " ELSE (id * 31) % 1000 END").cast("bigint")
+        .alias("accuracy_radius"),
+    )
+
+
+SQL_GEOLITE_BLOCKS_GEN = f"""
+  SELECT concat(CAST((i // 65536) % 256 AS VARCHAR), '.',
+                CAST((i // 256) % 256 AS VARCHAR), '.',
+                CAST(i % 256 AS VARCHAR), '.0/24') AS network,
+         CAST(CASE WHEN i % 10 = 0 THEN NULL
+              ELSE 5000000 + i * 3 END AS BIGINT) AS geoname_id,
+         CAST(CASE WHEN i % 7 = 0 THEN NULL
+              ELSE 5000000 + (i * 5) % 1000 END AS BIGINT)
+           AS registered_country_geoname_id,
+         CAST(CASE WHEN i % 50 = 0 THEN 6000000 + i
+              ELSE NULL END AS BIGINT) AS represented_country_geoname_id,
+         CASE WHEN i % 37 = 0 THEN '1' ELSE '0' END AS is_anonymous_proxy,
+         CASE WHEN i % 41 = 0 THEN '1' ELSE '0' END AS is_satellite_provider,
+         CASE WHEN i % 3 = 0 THEN ''
+              ELSE lpad(CAST((i * 7919) % 100000 AS VARCHAR), 5, '0') END
+           AS postal_code,
+         CAST(CASE WHEN i % 11 = 0 THEN NULL
+              ELSE (i * 877) % 1800001 - 900000 END AS BIGINT) AS latitude_e4,
+         CAST(CASE WHEN i % 13 = 0 THEN NULL
+              ELSE (i * 1583) % 3600001 - 1800000 END AS BIGINT)
+           AS longitude_e4,
+         CAST(CASE WHEN i % 17 = 0 THEN NULL
+              ELSE (i * 31) % 1000 END AS BIGINT) AS accuracy_radius
+  FROM range(0, {GEOLITE_ROWS}) t(i)
+"""
+
+
+def generate_geolite_cities(spark):
+    """`geolite_cities` per FIXTURES.md §4 (Geolite/Types.hs:15-29): the
+    13-column wide low-cardinality string schema — locale/continent/
+    country/time_zone from tiny vocabularies (dictionary-codec fixture),
+    mostly-empty subdivision_2 columns, city names with the reference's
+    hostile quoted/comma values (data/small/GeoLite2-City-Locations-en.csv
+    rows 2-3), nullable metro_code."""
+    from pyspark.sql import functions as F
+
+    cont_c = ", ".join(f"'{c}'" for c, _ in _CONTINENTS)
+    cont_n = ", ".join(f"'{n}'" for _, n in _CONTINENTS)
+    ctry_c = ", ".join(f"'{c}'" for c, _ in _COUNTRIES)
+    ctry_n = ", ".join(f"'{n}'" for _, n in _COUNTRIES)
+    tzs = ", ".join(f"'{z}'" for z in _TIME_ZONES)
+    return spark.range(0, GEOLITE_ROWS).select(
+        F.expr("7000000 + id").cast("bigint").alias("geoname_id"),
+        F.expr("element_at(array('en', 'de', 'fr', 'es'),"
+               " cast(id % 4 + 1 as int))").alias("locale_code"),
+        F.expr(f"element_at(array({cont_c}), cast(id % 6 + 1 as int))")
+        .alias("continent_code"),
+        F.expr(f"element_at(array({cont_n}), cast(id % 6 + 1 as int))")
+        .alias("continent_name"),
+        F.expr(f"element_at(array({ctry_c}), cast(id % 8 + 1 as int))")
+        .alias("country_iso_code"),
+        F.expr(f"element_at(array({ctry_n}), cast(id % 8 + 1 as int))")
+        .alias("country_name"),
+        F.expr("lpad(cast(id % 30 as string), 2, '0')")
+        .alias("subdivision_1_iso_code"),
+        F.expr("concat('Region ', cast(id % 30 as string))")
+        .alias("subdivision_1_name"),
+        F.expr("CASE WHEN id % 5 = 0"
+               " THEN lpad(cast(id % 97 as string), 3, '0') ELSE '' END")
+        .alias("subdivision_2_iso_code"),
+        F.expr("CASE WHEN id % 5 = 0"
+               " THEN concat('District ', cast(id % 97 as string))"
+               " ELSE '' END").alias("subdivision_2_name"),
+        F.expr("CASE WHEN id % 25 = 0"
+               " THEN concat('City \"', cast(id as string), '\", Ltd')"
+               " ELSE concat('City ', cast(id as string)) END")
+        .alias("city_name"),
+        F.expr(f"element_at(array({tzs}), cast(id % 6 + 1 as int))")
+        .alias("time_zone"),
+        F.expr("CASE WHEN id % 6 = 0 THEN (id * 3) % 900 + 500"
+               " ELSE NULL END").cast("bigint").alias("metro_code"),
+    )
+
+
+def _sql_geolite_cities_gen() -> str:
+    def pick(pairs, idx, m):
+        return ("(['" + "', '".join(p[idx] for p in pairs) + "'])"
+                f"[i % {m} + 1]")
+
+    return f"""
+  SELECT CAST(7000000 + i AS BIGINT) AS geoname_id,
+         (['en', 'de', 'fr', 'es'])[i % 4 + 1] AS locale_code,
+         {pick(_CONTINENTS, 0, 6)} AS continent_code,
+         {pick(_CONTINENTS, 1, 6)} AS continent_name,
+         {pick(_COUNTRIES, 0, 8)} AS country_iso_code,
+         {pick(_COUNTRIES, 1, 8)} AS country_name,
+         lpad(CAST(i % 30 AS VARCHAR), 2, '0') AS subdivision_1_iso_code,
+         concat('Region ', CAST(i % 30 AS VARCHAR)) AS subdivision_1_name,
+         CASE WHEN i % 5 = 0 THEN lpad(CAST(i % 97 AS VARCHAR), 3, '0')
+              ELSE '' END AS subdivision_2_iso_code,
+         CASE WHEN i % 5 = 0 THEN concat('District ', CAST(i % 97 AS VARCHAR))
+              ELSE '' END AS subdivision_2_name,
+         CASE WHEN i % 25 = 0
+              THEN concat('City "', CAST(i AS VARCHAR), '", Ltd')
+              ELSE concat('City ', CAST(i AS VARCHAR)) END AS city_name,
+         {pick([(z,) for z in _TIME_ZONES], 0, 6)} AS time_zone,
+         CAST(CASE WHEN i % 6 = 0 THEN (i * 3) % 900 + 500
+              ELSE NULL END AS BIGINT) AS metro_code
+  FROM range(0, {GEOLITE_ROWS}) t(i)
+"""
+
+
+SQL_GEOLITE_CITIES_GEN = _sql_geolite_cities_gen()

@@ -123,6 +123,82 @@ SQL_GIANT_CELL = ("SELECT CAST(doc_id AS BIGINT) AS doc_id, repeat(text, 40) AS 
                   "WHERE doc_id < 500")
 
 
+def _rt_generated(gen, codecs: dict, post_select=None):
+    """Round-trip a GENERATED fixture table (corpus.generate_geolite_*)
+    through explicit codecs; ``post_select`` optionally maps the decoded
+    frame (e.g. "1"/"0" flag → boolean, Geolite/Csv.hs:49-50)."""
+    def fn(spark, sf_dir):
+        ensure_shipped(spark)
+        df = gen(spark)
+
+        def rt(batches):
+            import pyarrow as pa
+
+            from colonnade_spark import blocks as B
+            for batch in batches:
+                names = batch.schema.names
+                arrs = [B.decode_block(B.encode_block(
+                            batch.column(i), codec=codecs.get(nm, "auto")))
+                        for i, nm in enumerate(names)]
+                yield pa.RecordBatch.from_arrays(arrs, names=names)
+
+        out = df.mapInArrow(rt, df.schema)
+        return post_select(out) if post_select else out
+
+    return fn
+
+
+def q_rt_geolite_blocks(spark, sf_dir):
+    """End-to-end geolite_blocks round-trip (FIXTURES.md §3; the
+    reference's real-world nullable/typed schema, Geolite/Types.hs:31-42 +
+    Csv.hs:18-57): CIDR strings through fsst/auto, three nullable geoname
+    ids (one mostly-null) through FOR-bitpack, "1"/"0" booleans through the
+    alpha4 small-alphabet pack then mapped to BOOLEAN (Csv.hs:49-50),
+    Fixed-E4 lat/lon as nullable int64 1e-4 units (Types.hs:7-10), small
+    nullable ints bit-packed.  Oracle regenerates the identical table in
+    DuckDB arithmetic — value-hash equality is the isomorphism proof."""
+    from pyspark.sql import functions as F
+
+    from .corpus import generate_geolite_blocks
+
+    fn = _rt_generated(
+        generate_geolite_blocks,
+        codecs={"geoname_id": "forbp", "registered_country_geoname_id": "forbp",
+                "represented_country_geoname_id": "forbp",
+                "is_anonymous_proxy": "alpha4", "is_satellite_provider": "alpha4",
+                "latitude_e4": "forbp", "longitude_e4": "forbp",
+                "accuracy_radius": "forbp"},
+        post_select=lambda out: out.withColumn(
+            "is_anonymous_proxy", F.col("is_anonymous_proxy") == "1"
+        ).withColumn(
+            "is_satellite_provider", F.col("is_satellite_provider") == "1"))
+    return fn(spark, sf_dir)
+
+
+def q_rt_geolite_cities(spark, sf_dir):
+    """End-to-end geolite_cities round-trip (FIXTURES.md §4; the 13-column
+    wide low-cardinality schema, Geolite/Types.hs:15-29): locale/continent/
+    country/time_zone through the dictionary codec, hostile quoted/comma
+    city names (data/small/GeoLite2-City-Locations-en.csv rows 2-3) through
+    fsst, nullable metro_code bit-packed."""
+    from .corpus import generate_geolite_cities
+
+    return _rt_generated(
+        generate_geolite_cities,
+        codecs={"geoname_id": "delta", "locale_code": "dict",
+                "continent_code": "dict", "continent_name": "dict",
+                "country_iso_code": "dict", "country_name": "dict",
+                "time_zone": "dict", "city_name": "fsst",
+                "metro_code": "forbp"})(spark, sf_dir)
+
+
+def _sql_geolite_blocks() -> str:
+    from .corpus import SQL_GEOLITE_BLOCKS_GEN
+    return (f"SELECT * REPLACE ((is_anonymous_proxy = '1') AS is_anonymous_proxy,"
+            f" (is_satellite_provider = '1') AS is_satellite_provider)"
+            f" FROM ({SQL_GEOLITE_BLOCKS_GEN})")
+
+
 def q_rt_events_ts(spark, sf_dir):
     """Engine round-trip over the EVENTS table — timestamps ride as int64
     microseconds (auto selection: near-monotonic event times land on
@@ -1674,6 +1750,8 @@ def registry() -> dict:
 
 
 def _raw_registry() -> dict:
+    from .corpus import SQL_GEOLITE_CITIES_GEN
+
     doc_all = ["doc_id", "text", "lang", "source", "n_chars"]
     return {
         # codec round-trips (isomorphism oracle per codec)
@@ -1716,6 +1794,10 @@ def _raw_registry() -> dict:
         # multi-block cells: every cell > the fragment cap round-trips
         # through encode_cell_fragments/decode_cell_fragments
         "rt_giant_cell": (q_rt_giant_cell, SQL_GIANT_CELL),
+        # geolite end-to-end (the reference's real-world schemas): oracle
+        # REGENERATES the fixture in DuckDB arithmetic (corpus.py mirrors)
+        "rt_geolite_blocks": (q_rt_geolite_blocks, _sql_geolite_blocks()),
+        "rt_geolite_cities": (q_rt_geolite_cities, SQL_GEOLITE_CITIES_GEN),
         # events table: int64-microsecond timestamps + doubles through the
         # engine (identity oracle on the same parquet values)
         "rt_events_ts": (q_rt_events_ts, SQL_RT_EVENTS),
