@@ -388,7 +388,11 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
         order = plan.stage_order or plan.column_names
         # zstd staged files: ~45% smaller than snappy on text and ~1.5x
         # faster wall for the staging write on this disk; decompression in
-        # the per-bucket readers is cheap (~1 GB/s/core)
+        # the per-bucket readers is cheap (~1 GB/s/core).  Level stays the
+        # parquet default (3): zstd-1 measured 23% faster on CPU-bound
+        # small inputs but a wash-to-loss at bench scale, where staging is
+        # bound by the single shared disk and +12% scratch bytes cost more
+        # than the cheaper compressor saves.
         (bucketed.repartition(n_buckets, F.col("__bucket"))
                  .sortWithinPartitions(*order)
                  .write.mode("overwrite").partitionBy("__bucket")
