@@ -168,3 +168,19 @@ def cap(label: str, plan: EncodePlan) -> Cornice:
 def recap(label: str, *children: Union[Cornice, EncodePlan]) -> Cornice:
     """Add another header tier above existing cornices/plans."""
     return Cornice(label, tuple(children))
+
+
+def empty_cornice(tiers: int = 1) -> Cornice:
+    """``ToEmptyCornice`` per pillar (Encode.hs:583-590 — the class;
+    Encode.hs:623-628 — the Monoid built on it): the identity element of
+    the per-tier cornice monoid.  ``tiers == 0`` is the Base identity
+    (``CorniceBase mempty`` — a cornice over the empty plan); ``tiers >=
+    1`` is the Cap identity (``CorniceCap Vector.empty`` — an empty
+    sibling forest; depth is erased here because the Python tree is
+    untyped, so every Cap tier shares one identity value).  Identity is
+    SEMANTIC, matching the rendered/derived surfaces: ``(mempty + x)``
+    and ``(x + mempty)`` agree with ``x`` on discard/endow/annotate —
+    the frozen-tree structural form may differ by an unlabeled root."""
+    if tiers <= 0:
+        return Cornice(None, (EncodePlan(),))
+    return Cornice(None, ())

@@ -217,3 +217,117 @@ def html_sectioned(df, section_col: str, limit: int = 100,
         lines += _tr([_cell(r[c]) for c in cols], "td", "        ")
     lines += ["    </tbody>", "</table>"]
     return "\n".join(lines)
+
+
+# --------------------------------------------------------------------------
+# compact pretty-printers (Blaze/Colonnade.hs:436-524)
+# --------------------------------------------------------------------------
+
+_NO_TAG = object()
+
+
+def remove_whitespace_after_tag(chosen_tag: str, html: str) -> str:
+    """``removeWhitespaceAfterTag`` (Blaze/Colonnade.hs:447-489): a
+    character fold that drops whitespace occurring while the innermost
+    open tag is ``chosen_tag``.  Faithfully ports the reference's state
+    machine, INCLUDING its quirks: on malformed input the error message
+    itself is returned as the output string (``either id …``,
+    Blaze/Colonnade.hs:448), and self-closing/void tags confuse the
+    context stack.  The reference self-disclaims it as "incorrect in many
+    corner cases … use is discouraged" (Blaze/Colonnade.hs:509-512); this
+    port reproduces, not fixes, that contract — it exists for compact
+    doctest-style table output only."""
+    NORMAL, SOMETAG, OPENING, OPENING_ATTRS, CLOSING, AFTERTAG = range(6)
+    ctx: list = []
+    status = NORMAL
+    tag = ""
+    out: list = []
+    for c in html:
+        if status == NORMAL:
+            if c == "<":
+                status = SOMETAG
+                out.append(c)
+            elif c.isspace():
+                if ctx and ctx[0] == chosen_tag:
+                    pass          # drop the whitespace
+                else:
+                    out.append(c)
+            else:
+                out.append(c)
+        elif status == SOMETAG:
+            if c == "/":
+                status, tag = CLOSING, ""
+                out.append(c)
+            elif c in "<>":
+                return f"unexpected {c}"
+            else:
+                status, tag = OPENING, c
+                out.append(c)
+        elif status == OPENING:
+            if c == ">":
+                ctx.insert(0, tag)
+                status = AFTERTAG
+                out.append(c)
+            elif c.isspace():
+                ctx.insert(0, tag)
+                status = OPENING_ATTRS
+                out.append(c)
+            else:
+                tag += c
+                out.append(c)
+        elif status == OPENING_ATTRS:
+            if c == ">":
+                status = AFTERTAG
+            out.append(c)
+        elif status == CLOSING:
+            if c == ">":
+                if not ctx:
+                    return "closing tag without any opening tag"
+                closest = ctx.pop(0)
+                if closest != tag:
+                    return (f"closing tag <{tag}> did not match "
+                            f"opening tag <{closest}>")
+                status = AFTERTAG
+                out.append(c)
+            else:
+                tag += c
+                out.append(c)
+        else:  # AFTERTAG
+            if c == "<":
+                status = SOMETAG
+                out.append(c)
+            elif c.isspace():
+                if ctx and ctx[0] == chosen_tag:
+                    pass          # drop; stay AFTERTAG
+                else:
+                    out.append(c)
+                    status = NORMAL
+            else:
+                out.append(c)
+                status = NORMAL
+    return "".join(out)
+
+
+def compact_html(html: str) -> str:
+    """``printCompactHtml`` minus the ``putStrLn`` (Blaze/Colonnade.hs:
+    513-521): strip whitespace inside td/th and common inline tags,
+    right-to-left over the same tag list as the reference."""
+    for t in ("em", "span", "strong", "th", "td"):
+        html = remove_whitespace_after_tag(t, html)
+    return html.rstrip("\n")
+
+
+def very_compact_html(html: str) -> str:
+    """``printVeryCompactHtml`` minus the ``putStrLn`` (Blaze/Colonnade.
+    hs:523-531): additionally collapses whitespace inside <tr>."""
+    for t in ("tr", "em", "span", "strong", "th", "td"):
+        html = remove_whitespace_after_tag(t, html)
+    return html.rstrip("\n")
+
+
+def print_compact_html(html: str) -> None:
+    print(compact_html(html))
+
+
+def print_very_compact_html(html: str) -> None:
+    print(very_compact_html(html))

@@ -138,3 +138,50 @@ def test_resolve_stripe_permuted_extra():
     kinds = {(k, c) for k, c, _ in errs}
     assert ("duplicate_column", "a") in kinds
     assert ("missing_column", "b") in kinds
+
+
+def test_empty_cornice_is_monoid_identity():
+    """ToEmptyCornice (Encode.hs:583-590, 623-628): mempty at each tier is
+    the identity for the cornice monoid on every derived surface."""
+    from colonnade_spark.cornice import cap, empty_cornice, recap
+    from colonnade_spark.plan import plan
+
+    x = recap("G", cap("L", plan().headed("a").headed("b")))
+    for mempty in (empty_cornice(0), empty_cornice(1), empty_cornice(3)):
+        for combined in (mempty + x, x + mempty):
+            assert combined.discard().column_names == x.discard().column_names
+            assert combined.endow().column_names == x.endow().column_names
+            assert (combined.annotate().header_rows()
+                    == x.annotate().header_rows())
+            assert combined.annotate().size() == x.annotate().size()
+    # mempty + mempty is still an identity (associativity smoke)
+    m2 = empty_cornice(1) + empty_cornice(1)
+    assert (m2 + x).discard().column_names == x.discard().column_names
+    assert empty_cornice(0).discard().column_names == []
+
+
+def test_compact_html_printers_golden():
+    """printCompactHtml / printVeryCompactHtml (Blaze/Colonnade.hs:436-531)
+    including the reference's self-disclaimed quirks (error text AS the
+    return value on malformed input)."""
+    from colonnade_spark.html import (compact_html,
+                                      remove_whitespace_after_tag,
+                                      very_compact_html)
+
+    html = ("<table>\n    <thead>\n        <tr>\n            <th>\n"
+            "                Name\n            </th>\n        </tr>\n"
+            "    </thead>\n</table>")
+    # td/th contents pulled onto one line; tr structure preserved
+    c = compact_html(html)
+    assert "<th>Name</th>" in c
+    assert "\n" in c  # tr-level whitespace kept by the plain variant
+    v = very_compact_html(html)
+    assert "<tr><th>Name</th></tr>" in v.replace("\n", "").replace(" ", "") \
+        or "<tr><th>Name</th></tr>" in v
+    # the reference quirk: malformed input returns the ERROR STRING
+    assert remove_whitespace_after_tag("td", "</td>") == \
+        "closing tag without any opening tag"
+    assert remove_whitespace_after_tag("td", "<<") == "unexpected <"
+    # mismatched nesting is loud, matching the Haskell message format
+    out = remove_whitespace_after_tag("td", "<tr><td></tr>")
+    assert out.startswith("closing tag <tr> did not match opening tag <td>")
