@@ -71,3 +71,94 @@ def test_iceberg_routing_with_mocked_runtime(monkeypatch):
                         partition_by=["lang"])
     assert wcalls == {"mode": "append", "pb": ("lang",),
                       "fmt": "iceberg", "tbl": "lake.db.t"}
+
+
+def test_snap_backend_snapshot_overwrite_append_contract(spark, tmp_path):
+    """The seam's snapshot contract, proven with real I/O on the snap:
+    backend (the sandbox stand-in for an Iceberg catalog): monotonic
+    snapshot ids, append accumulates, overwrite replaces, immutable
+    history supports time travel, expiry drops history and garbage."""
+    import os
+
+    uri = f"snap:{tmp_path}/t"
+    ids = lambda df: sorted(r[0] for r in df.collect())
+
+    tableio.write_table(spark.range(0, 3), uri)                  # snap 1
+    tableio.write_table(spark.range(10, 12), uri, mode="append")  # snap 2
+    assert ids(tableio.read_table(spark, uri)) == [0, 1, 2, 10, 11]
+    tableio.write_table(spark.range(100, 101), uri)              # snap 3
+    assert ids(tableio.read_table(spark, uri)) == [100]
+
+    log = tableio.snapshots(spark, uri)
+    assert [s["id"] for s in log] == [1, 2, 3]
+    assert [s["op"] for s in log] == ["overwrite", "append", "overwrite"]
+
+    # time travel: every historical snapshot still reproduces exactly
+    assert ids(tableio.read_table(spark, uri, snapshot_id=1)) == [0, 1, 2]
+    assert ids(tableio.read_table(spark, uri, snapshot_id=2)) == [0, 1, 2, 10, 11]
+    with pytest.raises(ValueError, match="snapshot 99 not found"):
+        tableio.read_table(spark, uri, snapshot_id=99)
+    with pytest.raises(ValueError, match="snapshot_id requires"):
+        tableio.read_table(spark, f"{tmp_path}/t", snapshot_id=1)
+
+    # expiry: history gone, latest intact, orphan data dirs deleted
+    removed = tableio.expire_snapshots(uri, keep_last=1)
+    assert removed == [1, 2]
+    assert ids(tableio.read_table(spark, uri)) == [100]
+    with pytest.raises(ValueError, match="not found"):
+        tableio.read_table(spark, uri, snapshot_id=1)
+    dirs = [d for d in os.listdir(f"{tmp_path}/t") if d.startswith("snap-")]
+    assert len(dirs) == 1 and dirs[0].startswith("snap-3-")
+
+
+def test_iceberg_snapshot_surface_pinned(monkeypatch):
+    """Beyond URI routing: pin the exact Iceberg snapshot-API calls the
+    seam issues — the <table>.snapshots metadata query and the
+    option("snapshot-id", ...) time-travel read (both documented Iceberg
+    surfaces) — against a fake that replays a catalog's answers."""
+    monkeypatch.setattr(tableio, "iceberg_available", lambda s: True)
+
+    calls = {}
+
+    class FakeRow(tuple):
+        pass
+
+    class FakeSpark:
+        def sql(self, q):
+            calls["sql"] = q
+
+            class R:
+                @staticmethod
+                def collect():
+                    return [FakeRow((101, "overwrite")),
+                            FakeRow((202, "append"))]
+            return R()
+
+        class read:  # noqa: N801 - mimics the pyspark property surface
+            @staticmethod
+            def format(f):
+                calls["fmt"] = f
+
+                class Chain:
+                    @staticmethod
+                    def option(k, v):
+                        calls["option"] = (k, v)
+                        return Chain
+
+                    @staticmethod
+                    def load(loc):
+                        calls["loc"] = loc
+                        return "DF"
+                return Chain
+
+    snaps = tableio.snapshots(FakeSpark(), "iceberg:lake.db.t")
+    assert calls["sql"] == ("SELECT snapshot_id, operation FROM "
+                            "lake.db.t.snapshots ORDER BY committed_at")
+    assert snaps == [{"id": 101, "op": "overwrite"},
+                     {"id": 202, "op": "append"}]
+
+    assert tableio.read_table(FakeSpark(), "iceberg:lake.db.t",
+                              snapshot_id=202) == "DF"
+    assert calls["fmt"] == "iceberg"
+    assert calls["option"] == ("snapshot-id", 202)
+    assert calls["loc"] == "lake.db.t"
