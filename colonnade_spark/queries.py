@@ -716,6 +716,54 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     return out.select("id_a", "id_b")
 
 
+def q_embedding_cluster_assign(spark, sf_dir):
+    """Embedding clustering primitive: assign every vector its nearest of
+    16 seeded coarse centroids (the IVF quantizer's assignment pass,
+    simsearch.with_ivf_cell — an Arrow-batched matmul, no per-row Python).
+
+    Oracle-checked: the centroids are a pure function of the seed, so the
+    oracle SQL embeds them as exact repr'd float64 literals and re-derives
+    every assignment with list_dot_product + argmax (row_number over sim
+    DESC, cell ASC — numpy argsort's stable tie rule).  Cosine margins
+    between best and second-best cell on this corpus are O(0.05), ~14
+    orders above cross-engine summation-order ULP drift, so assignment is
+    construction-fixed (verified sf0.001 + sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from .simsearch import _cluster_centroids, with_ivf_cell
+
+    emb = _read(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(
+        "transform(embedding, x -> cast(x as double))").alias("e"))
+    out = with_ivf_cell(v, "e", _cluster_centroids(), n_probe=1)
+    return out.select(F.col("vec_id").cast("bigint"),
+                      F.col("cells")[0].cast("bigint").alias("cell"))
+
+
+def _sql_embedding_cluster() -> str:
+    from .simsearch import _cluster_centroids
+
+    cent = _cluster_centroids()
+    rows = ",\n".join(
+        f"  ({j}, [{', '.join(repr(float(x)) for x in cent[j])}])"
+        for j in range(cent.shape[0]))
+    # with_ivf_cell normalizes the vector before the matmul; the norm is
+    # positive so argmax is unaffected — the oracle skips it and compares
+    # raw dot products (same winner, no extra float ops to mirror)
+    return f"""
+WITH cent(cell, c) AS (VALUES
+{rows}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, cell, list_dot_product(e, c) AS sim FROM v, cent)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS BIGINT) AS cell
+FROM (SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell) AS rk
+      FROM s)
+WHERE rk = 1
+"""
+
+
 SQL_EMB_NEARDUP = """
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
           WHERE vec_id < 1000)
@@ -1831,6 +1879,10 @@ def _raw_registry() -> dict:
         # construction; oracle = exact top-1 SQL
         "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TWIN),
         "embedding_neardup": (q_embedding_neardup, SQL_EMB_NEARDUP),
+        # clustering primitive: seeded-centroid assignment, oracle embeds
+        # the exact float64 centroid literals and re-derives every argmax
+        "embedding_cluster_assign": (q_embedding_cluster_assign,
+                                     _sql_embedding_cluster()),
         # scale path, promoted: deterministic recall 1.0 → exact-set oracle
         "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMB_NEARDUP),
         # full SQL re-impl (shingles+splitmix64+64 affine mins+banding);

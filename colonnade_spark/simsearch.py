@@ -324,3 +324,15 @@ def cosine_near_dup_pairs(spark, df, vec_col: str, id_col: str,
             .filter(F.col("cos_sim") >= threshold)
             .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
                     "cos_sim"))
+
+
+def _cluster_centroids(k: int = 16, dim: int = 64,
+                       seed: int = 0x1BF) -> np.ndarray:
+    """Seeded random unit centroids (data-independent, deterministic) —
+    the shared model behind the oracle-checked cluster-assignment query:
+    the same array feeds :func:`with_ivf_cell` on the Spark side and is
+    repr'd into exact float64 literals on the DuckDB side."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((k, dim))
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+    return c
