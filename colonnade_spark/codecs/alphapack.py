@@ -51,7 +51,11 @@ class AlphaPackCodec(Codec):
     codec_id = 7
 
     def applicable(self, col: ColumnData, stats: ColumnStats) -> bool:
-        return col.kind == KIND_STR and col.n > 0 and stats.total_bytes >= 64
+        # capability only (a 1-byte column packs fine); the tiny-column
+        # floor lives in estimate() so a FORCED alpha4 on a small tail
+        # batch encodes instead of raising (bench-caught: mapInArrow split
+        # a 2000-row flag column into a 63-row tail batch)
+        return col.kind == KIND_STR and col.n > 0
 
     def _plan(self, col: ColumnData, ctx: EncodeContext):
         # NO caching: an earlier id(col.data)-keyed memo silently returned a
@@ -69,6 +73,8 @@ class AlphaPackCodec(Codec):
         return (alpha, w, lens, lw)
 
     def estimate(self, col: ColumnData, stats: ColumnStats, ctx: EncodeContext) -> int:
+        if stats.total_bytes < 64:        # selection floor (header amortization)
+            return stats.total_bytes * 4 + (1 << 20)
         plan = self._plan(col, ctx)
         if plan is None:
             return stats.total_bytes * 4 + (1 << 20)  # priced out
