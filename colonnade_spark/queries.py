@@ -588,12 +588,14 @@ def q_ngram_jaccard(spark, sf_dir):
     jaccard emitted in integer milli-units.
 
     Scale shape (round-4): shingles are hashed to int64 BEFORE the join —
-    60-bit md5-prefix keys (``conv(substr(md5(s),1,15),16,10)``, the
-    dataset_split trick, so DuckDB mirrors the hash bit-for-bit) — cutting
-    the shuffled array payload from variable-width strings+offsets to
-    fixed 8-byte longs.  Exact up to 60-bit collisions (~1e-9 at 1e5
-    shingles/pair), and both engines hash identically so the oracle stays
-    value-exact regardless."""
+    JVM ``xxhash64`` keys — cutting the shuffled array payload from
+    variable-width strings+offsets to fixed 8-byte longs.  The oracle
+    re-derives the same counts from raw STRING set operations (hashing
+    changes no count unless two distinct shingles collide in 64 bits:
+    ~1e-9 at 1e5 shingles/pair), so the output stays value-exact.
+    An earlier variant used md5-prefix keys so DuckDB could mirror the
+    hash itself bit-for-bit; xxhash64 computes ~5-10x cheaper (no hex
+    round-trip) and the output check is equally strict."""
     from pyspark.sql import functions as F
 
     docs = _read(spark, sf_dir, "documents")
@@ -602,7 +604,7 @@ def q_ngram_jaccard(spark, sf_dir):
         F.expr("transform(array_distinct("
                "  transform(sequence(1, greatest(length(text) - 4, 1)),"
                "            i -> substring(text, i, 5))),"
-               " s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))")
+               " s -> xxhash64(s))")
         .alias("sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select((F.col("doc_id") - 1).alias("id_a"),
@@ -620,10 +622,8 @@ def q_ngram_jaccard(spark, sf_dir):
 SQL_NGRAM_JACCARD = """
 WITH sh AS (
   SELECT doc_id,
-         list_transform(
-           list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
-                                        i -> substr(text, CAST(i AS INT), 5))),
-           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS sh
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                                      i -> substr(text, CAST(i AS INT), 5))) AS sh
   FROM documents)
 SELECT CAST(a.doc_id AS BIGINT) AS id_a,
        CAST(length(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
@@ -1647,15 +1647,15 @@ def q_decontaminate(spark, sf_dir):
     contaminated (>= half its shingles seen in train)?
 
     Scale shape: shingles are generated JVM-side (sequence + slice +
-    concat_ws — no Python), then hashed to 60-bit int64 keys
-    (md5-prefix via ``conv``, the dataset_split trick — DuckDB mirrors the
-    hash bit-for-bit) so the explode+distinct+join shuffles fixed 8-byte
-    longs instead of variable-width word-3-gram strings; the train side is
-    a distinct-shingle table (map-side combine), and the check is one
+    concat_ws — no Python), then hashed to int64 ``xxhash64`` keys so the
+    explode+distinct+join shuffles fixed 8-byte longs instead of
+    variable-width word-3-gram strings; the train side is a
+    distinct-shingle table (map-side combine), and the check is one
     equi-join on the hashed key.  At 100 TB you'd additionally materialize
-    the train-shingle table once per corpus snapshot.  Exact up to 60-bit
-    collisions; both engines hash identically so the oracle stays
-    value-exact regardless."""
+    the train-shingle table once per corpus snapshot.  The oracle
+    re-derives the same counts from raw STRING joins — hashing changes no
+    count unless two distinct shingles collide in 64 bits (~1e-9 here),
+    so the output stays value-exact."""
     from pyspark.sql import functions as F
 
     docs = _read(spark, sf_dir, "documents")
@@ -1667,7 +1667,7 @@ def q_decontaminate(spark, sf_dir):
         F.array_distinct(F.transform(
             F.sequence(F.lit(1), F.size(words) - 2),
             lambda i: F.concat_ws(" ", F.slice(words, i, 3)))),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"))
+        lambda s: F.xxhash64(s))
     ).otherwise(F.array().cast("array<bigint>"))
     base = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                        bucket.alias("bucket"), shingles.alias("sh"))
@@ -1690,11 +1690,9 @@ SQL_DECONTAMINATE = f"""
 WITH base AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          {_SQL_BUCKET} AS bucket,
-         list_transform(
-           list_distinct(list_transform(
-             range(1, greatest(len(str_split(text, ' ')) - 2, 0) + 1),
-             i -> array_to_string(str_split(text, ' ')[i:i+2], ' '))),
-           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS sh
+         list_distinct(list_transform(
+           range(1, greatest(len(str_split(text, ' ')) - 2, 0) + 1),
+           i -> array_to_string(str_split(text, ' ')[i:i+2], ' '))) AS sh
   FROM documents
 ),
 test_sh AS (SELECT doc_id, unnest(sh) AS s FROM base WHERE bucket >= 90),
