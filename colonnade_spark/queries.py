@@ -1328,6 +1328,106 @@ WHERE c.comp IS NULL OR c.comp = s.doc_id
 """
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization — the standard event-analytics operator
+    Spark lacks as a single builtin for BATCH data (Structured Streaming
+    has session windows; batch uses the lag+cumsum reformulation): a new
+    session starts when a user's inactivity gap exceeds 30 min.  Output is
+    one row per session: (user_id, session_seq, n_events, duration_us,
+    first_event_id).
+
+    Scale shape: ONE shuffle on user_id feeding both windows (lag and the
+    running sum share the partitioning), then a groupBy on the same keys —
+    partial aggregation applies; gap math in exact integer microseconds
+    (identical in DuckDB)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = (ev.select("event_id", "user_id", "ts", us.alias("us"))
+         .withColumn("prev_us", F.lag("us").over(w))
+         .withColumn("new_s", (F.col("prev_us").isNull() |
+                               (F.col("us") - F.col("prev_us") > 1800 * 1_000_000))
+                     .cast("bigint"))
+         .withColumn("session_seq", F.sum("new_s").over(run)))
+    return (e.groupBy("user_id", "session_seq")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 (F.max("us") - F.min("us")).cast("bigint")
+                 .alias("duration_us"),
+                 F.min("event_id").cast("bigint").alias("first_event_id"))
+            .select(F.col("user_id").cast("bigint"),
+                    F.col("session_seq").cast("bigint"),
+                    "n_events", "duration_us", "first_event_id"))
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events),
+s AS (
+  SELECT event_id, user_id, us,
+         sum(CASE WHEN prev_us IS NULL
+                    OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM e)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+       CAST(min(event_id) AS BIGINT) AS first_event_id
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact discrete quantiles per group — the rank-based reformulation
+    (row_number at ceil(q*n), computed in INTEGER arithmetic:
+    ``(q_num*n + q_den-1) div q_den``) so both engines pick the identical
+    stored double; no interpolation, no float rank math.  The
+    approximate-sketch path at 100 TB is Spark's approx_percentile (one
+    pass, mergeable sketches); this is its exact oracle-able twin: one
+    shuffle on the group key, a window rank, and a conditional agg."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    e = (ev.select("event_type", "value", "event_id")
+         .withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(Window.partitionBy("event_type"))))
+    pick = lambda num, den: F.max(F.when(
+        F.col("rn") == F.expr(f"({num} * n + {den - 1}) div {den}"),
+        F.col("value")))
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 pick(1, 2).alias("p50"),
+                 pick(9, 10).alias("p90"),
+                 pick(99, 100).alias("p99")))
+
+
+SQL_EVENTS_QUANTILES = """
+WITH e AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       CAST(any_value(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = (1 * n + 1) // 2 THEN value END) AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+FROM e GROUP BY event_type
+"""
+
+
 def q_events_window(spark, sf_dir):
     """Event-time tumbling-window aggregation over the events table —
     the batch form of the streaming windowed-agg shape (same F.window
@@ -1898,6 +1998,9 @@ def _raw_registry() -> dict:
         "events_asof_join": (q_events_asof_join, SQL_ASOF),
         "events_range_join": (q_events_range_join, SQL_RANGE_JOIN),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+        # gap-based sessionization (lag+cumsum) + exact rank-based quantiles
+        "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+        "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
         "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
         "tpch_shipping_priority": (q_tpch_shipping_priority, SQL_TPCH_Q3),
         "tpch_pricing": (q_tpch_pricing, SQL_TPCH),
