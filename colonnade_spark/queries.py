@@ -1642,6 +1642,40 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_rollup(spark, sf_dir):
+    """Data-level ROLLUP (grouping sets) — closes the SURVEY §2 line that
+    noted Cornice is only a HEADER rollup: pricing totals at (returnflag,
+    linestatus), per-returnflag subtotal, and grand total in ONE pass
+    (Catalyst expands the grouping sets before the shuffle, so partial
+    aggregation still applies — no per-level re-scan).  ``grouping_id``
+    disambiguates subtotal rows from real NULL keys; COALESCE only
+    labels.  Exact DECIMAL→BIGINT fold for parity."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .rollup("l_returnflag", "l_linestatus")
+            .agg((F.sum(price) * 100).cast("bigint").alias("sum_base_price_c"),
+                 F.count("*").cast("bigint").alias("count_order"),
+                 F.grouping_id().cast("bigint").alias("gid"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                    "gid", "sum_base_price_c", "count_order"))
+
+
+SQL_TPCH_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_base_price_c,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_tpch_local_volume(spark, sf_dir):
     """TPC-H Q5-shaped local-supplier volume: a six-table join tree.
 
@@ -2004,6 +2038,8 @@ def _raw_registry() -> dict:
         "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
         "tpch_shipping_priority": (q_tpch_shipping_priority, SQL_TPCH_Q3),
         "tpch_pricing": (q_tpch_pricing, SQL_TPCH),
+        # data-level grouping sets: one-pass rollup with grouping_id
+        "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
         "tpch_local_volume": (q_tpch_local_volume, SQL_TPCH_Q5),
         "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

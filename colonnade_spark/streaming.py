@@ -256,3 +256,39 @@ def stream_manifest(warehouse: str) -> dict:
         "bytes_out": sum(m["bytes_out"] for m in manifests),
         "plan_hash": manifests[-1]["plan_hash"] if manifests else None,
     }
+
+
+def stream_sessionize(spark, input_path: str, *, checkpoint_dir: str,
+                      out_dir: str, ts_col: str = "ts",
+                      key_col: str = "user_id", gap: str = "30 minutes",
+                      watermark: str = "1 hour",
+                      max_files_per_trigger: int = 1):
+    """Streaming gap-based sessionization via Spark's NATIVE
+    ``session_window`` (merging event-time windows: a session extends
+    while events arrive within ``gap`` of its current end and finalizes
+    once the watermark passes end+gap).  The streaming twin of
+    ``queries.q_events_sessionize`` — same 30-min-gap semantics, but
+    incremental with checkpointed state: a restart resumes open sessions
+    instead of recomputing (re-invoke with the same checkpoint).
+    Append-mode parquet sink; returns after draining available input."""
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(input_path).schema
+    agg = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .parquet(input_path)
+           .withWatermark(ts_col, watermark)
+           .groupBy(F.session_window(ts_col, gap), key_col)
+           .agg(F.count("*").alias("n_events"),
+                F.min(ts_col).alias("first_ts")))
+    q = (agg.select(key_col,
+                    F.col("session_window.start").alias("sess_start"),
+                    F.col("session_window.end").alias("sess_end"),
+                    "n_events", "first_ts")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

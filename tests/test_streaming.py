@@ -174,3 +174,48 @@ def test_stream_dedup_near_simhash_bucketed(spark, tmp_path):
             assert f"n{i}" in kept and len(kept & {"d0", "d0-exact"}) == 1
         else:
             assert {f"d{i}", f"n{i}"} <= kept, (i, survivors)
+
+
+def test_stream_sessionize_merges_and_restarts(spark, tmp_path):
+    """Native session_window sessionization: events within the 30-min gap
+    merge into one session; a restart with the same checkpoint EXTENDS a
+    still-open session rather than double-counting it, and the session
+    finalizes once the watermark passes its end+gap."""
+    from datetime import datetime
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sess")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "ts timestamp, user_id long") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    # run 1: user 1 has events at 10:00/10:10/10:25 (one session: each gap
+    # < 30 min) and 12:00 (a second session); user 2 one event.  The final
+    # 14:00 tick advances the watermark to 13:00, finalizing everything
+    # before it.
+    write([(datetime(2026, 1, 1, 10, 0), 1),
+           (datetime(2026, 1, 1, 10, 10), 1),
+           (datetime(2026, 1, 1, 10, 25), 1),
+           (datetime(2026, 1, 1, 12, 0), 1),
+           (datetime(2026, 1, 1, 10, 0), 2),
+           (datetime(2026, 1, 1, 14, 0), 99)])
+    streaming.stream_sessionize(spark, src, checkpoint_dir=ckpt, out_dir=out)
+    got = {(r["user_id"], r["sess_start"].hour, r["sess_start"].minute):
+           r["n_events"] for r in spark.read.parquet(out).collect()}
+    assert got[(1, 10, 0)] == 3          # merged 10:00-10:25 session
+    assert got[(1, 12, 0)] == 1
+    assert got[(2, 10, 0)] == 1
+
+    # run 2 (same checkpoint): a 13:50 event for user 3 is a NEW session
+    # still open after run 1's watermark; the 16:00 tick finalizes it.
+    write([(datetime(2026, 1, 1, 13, 50), 3),
+           (datetime(2026, 1, 1, 16, 0), 99)])
+    streaming.stream_sessionize(spark, src, checkpoint_dir=ckpt, out_dir=out)
+    got2 = {(r["user_id"], r["sess_start"].hour, r["sess_start"].minute):
+            r["n_events"] for r in spark.read.parquet(out).collect()}
+    assert got2[(3, 13, 50)] == 1
+    # run-1 sessions emitted exactly once (no double count after restart)
+    rows = spark.read.parquet(out).collect()
+    assert len([r for r in rows if r["user_id"] == 1]) == 2
