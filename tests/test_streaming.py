@@ -219,3 +219,51 @@ def test_stream_sessionize_merges_and_restarts(spark, tmp_path):
     # run-1 sessions emitted exactly once (no double count after restart)
     rows = spark.read.parquet(out).collect()
     assert len([r for r in rows if r["user_id"] == 1]) == 2
+
+
+def test_sessionize_batch_and_streaming_agree(spark, tmp_path):
+    """Cross-implementation check: the batch lag+cumsum sessionizer
+    (queries.q_events_sessionize) and the native session_window streaming
+    path partition the SAME events into the same sessions (count and
+    per-session sizes), for sessions the watermark has finalized."""
+    from datetime import datetime, timedelta
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sess")
+    ckpt = str(tmp_path / "ckpt")
+
+    # deterministic pseudo-random event times for 5 users over 6 hours
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = datetime(2026, 1, 1, 6, 0)
+        x = (u * 2654435761 + 12345) & 0xFFFFFFFF
+        for _ in range(40):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+            t = t + timedelta(minutes=int(x % 55) + 1)  # gaps 1..55 min
+            rows.append((eid, t, u))
+            eid += 1
+    rows.append((eid, datetime(2026, 1, 2, 23, 0), 99))  # watermark tick
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    streaming.stream_sessionize(spark, src, checkpoint_dir=ckpt, out_dir=out,
+                                max_files_per_trigger=10)
+    stream_sessions = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.read.parquet(out).collect() if r["user_id"] != 99)
+
+    # q_events_sessionize reads <sf_dir>/events.parquet; point it there
+    import os
+    import shutil
+
+    from colonnade_spark.queries import q_events_sessionize
+
+    os.makedirs(str(tmp_path / "sf"), exist_ok=True)
+    shutil.copytree(src, str(tmp_path / "sf" / "events.parquet"))
+    batch = q_events_sessionize(spark, str(tmp_path / "sf"))
+    batch_sessions = sorted(
+        (r["user_id"], r["n_events"])
+        for r in batch.collect() if r["user_id"] != 99)
+    assert stream_sessions == batch_sessions
+    assert len(batch_sessions) > 10          # non-trivial session structure

@@ -162,3 +162,49 @@ def test_iceberg_snapshot_surface_pinned(monkeypatch):
     assert calls["fmt"] == "iceberg"
     assert calls["option"] == ("snapshot-id", 202)
     assert calls["loc"] == "lake.db.t"
+
+
+def test_snap_backend_random_sequences_match_model(spark, tmp_path):
+    """Model-based check: random op sequences (overwrite/append/expire)
+    against an in-memory reference model — latest-state and every
+    surviving snapshot's time-travel read must match the model exactly.
+    Deterministic seed; splitmix-style op choice (no Python hash())."""
+    def mix(x):
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & (1 << 64) - 1
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & (1 << 64) - 1
+        return x ^ (x >> 31)
+
+    for seq in range(4):
+        uri = f"snap:{tmp_path}/t{seq}"
+        model = []          # list of (snap_id, frozenset(rows))
+        next_vals = iter(range(1000))
+        sid = 0
+        for step in range(6):
+            r = mix(seq * 1000 + step)
+            op = ("overwrite", "append", "expire")[r % 3]
+            if op == "expire":
+                if not model:
+                    continue
+                keep = max(1, (r >> 8) % (len(model) + 1))
+                tableio.expire_snapshots(uri, keep_last=keep)
+                model = model[-keep:]
+                continue
+            vals = [next(next_vals) for _ in range((r >> 16) % 3 + 1)]
+            tableio.write_table(
+                spark.createDataFrame([(v,) for v in vals], "v long"),
+                uri, mode=op)
+            sid += 1
+            prev = model[-1][1] if (op == "append" and model) else frozenset()
+            model.append((sid, prev | frozenset(vals)))
+            # sid bookkeeping: the backend's ids are monotonic and survive
+            # expiry, so re-read them to stay aligned
+            model[-1] = (tableio.snapshots(spark, uri)[-1]["id"],
+                         model[-1][1])
+        if not model:
+            continue
+        got_log = tableio.snapshots(spark, uri)
+        assert [s["id"] for s in got_log] == [m[0] for m in model]
+        for snap_id, expect in model:
+            got = frozenset(r["v"] for r in tableio.read_table(
+                spark, uri, snapshot_id=snap_id).collect())
+            assert got == expect, (seq, snap_id)
