@@ -428,6 +428,107 @@ _STOP_RE_SPARK = "(^| )(" + "|".join(_STOPWORDS) + ")( |$)"
 _PUNCT_RE = "[.,;:!?]"
 
 
+def q_doc_redact_pii(spark, sf_dir):
+    """PII redaction — the scrub step every training pipeline runs before
+    release: count and replace email/phone patterns, emit the redacted
+    fingerprint.  Patterns are RE2∩Java-safe (no backrefs/lookarounds) so
+    Spark's regex and DuckDB's RE2 agree byte-for-byte.  The fixture text
+    has no natural PII, so deterministic PII is PLANTED on doc_id%7 rows
+    (both engines build the same input, making non-zero counts and the
+    md5-of-redacted check meaningful).  All JVM-side: regexp_replace +
+    regexp_extract_all, no Python in the path."""
+    from pyspark.sql import functions as F
+
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+    docs = _read(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com or "),
+                 F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+                 F.lit("-555-0123"))
+    ).otherwise(F.col("text"))
+    d = docs.select(F.col("doc_id").cast("bigint"), planted.alias("t"))
+    red = F.regexp_replace(F.regexp_replace("t", email, "<EMAIL>"),
+                           phone, "<PHONE>")
+    # lit patterns, not F.expr: a SQL string literal would eat the \b/\.
+    # escapes before the regex engine ever saw them
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(email), F.lit(0)))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(phone), F.lit(0)))
+        .cast("bigint").alias("n_phones"),
+        F.md5(red).alias("redacted_fp"))
+
+
+SQL_DOC_REDACT = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or '
+                || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+                || '-555-0123'
+         ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t,
+              '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+            AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g'),
+              '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+              '<PHONE>', 'g')) AS redacted_fp
+FROM d
+"""
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Repetition quality signals (the Gopher/Dolma filter family): per
+    document, word-level duplication fraction and the most-frequent-word
+    share, in integer milli-units.  Shape: explode + two-level groupBy —
+    both aggregations are partial+final, keys are (doc_id, word) then
+    doc_id, so the shuffle is by document (no global hotspot)."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    w = (docs.select(F.col("doc_id").cast("bigint"),
+                     F.explode(F.split("text", " ")).alias("word"))
+         .groupBy("doc_id", "word").agg(F.count("*").alias("c")))
+    return (w.groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("n_words"),
+                 F.count("*").cast("bigint").alias("n_distinct"),
+                 F.max("c").cast("bigint").alias("top_count"))
+            .select("doc_id", "n_words", "n_distinct", "top_count",
+                    F.floor((F.col("n_words") - F.col("n_distinct")) * 1000
+                            / F.col("n_words")).cast("bigint")
+                    .alias("dup_frac_milli"),
+                    F.floor(F.col("top_count") * 1000 / F.col("n_words"))
+                    .cast("bigint").alias("top_frac_milli")))
+
+
+SQL_DOC_REPETITION = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(str_split(text, ' ')) AS word
+  FROM documents),
+c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top_count,
+       CAST(floor((sum(c) - count(*)) * 1000.0 / sum(c)) AS BIGINT)
+         AS dup_frac_milli,
+       CAST(floor(max(c) * 1000.0 / sum(c)) AS BIGINT) AS top_frac_milli
+FROM c GROUP BY doc_id
+"""
+
+
 def q_doc_quality(spark, sf_dir):
     """Quality scoring: integer-valued text metrics — length, whitespace,
     digit and punctuation counts, whitespace-token count, and stopword hits
@@ -1999,6 +2100,10 @@ def _raw_registry() -> dict:
         "token_count": (q_token_count, SQL_TOKENS),
         "token_count_bpe": (q_token_count_bpe, SQL_TOKENS_BPE),
         "doc_quality": (q_doc_quality, SQL_QUALITY),
+        # PII scrub (RE2∩Java-safe patterns, planted fixtures) + Gopher-
+        # style repetition signals
+        "doc_redact_pii": (q_doc_redact_pii, SQL_DOC_REDACT),
+        "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
         "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
         "doc_winnow": (q_doc_winnow, SQL_WINNOW),      # SQL re-impl oracle
