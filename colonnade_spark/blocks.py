@@ -83,6 +83,8 @@ def encode_block(arr: pa.Array, codec: str = "auto", exclude=(),
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if _is_supported_list(arr.type):
+        return _encode_list_block(arr, codec=codec, ctx=ctx, post=post)
     col, validity = from_arrow(arr)
     header: dict = {"n": col.n, "k": col.kind, "t": col.arrow_type}
     if validity is not None:
@@ -136,6 +138,8 @@ def decode_block(buf: bytes | memoryview) -> pa.Array:
         raise BlockError(f"crc mismatch in block (codec_id={codec_id})")
     if header.get("z"):
         payload = memoryview(zlib.decompress(payload))
+    if header["k"] == "list":
+        return _decode_list_block(header, payload)
     codec = BY_ID.get(codec_id)
     if codec is None:
         raise BlockError(f"unknown codec id {codec_id}")
@@ -145,6 +149,71 @@ def decode_block(buf: bytes | memoryview) -> pa.Array:
         bits = np.frombuffer(base64.b64decode(header["v"]), dtype=np.uint8)
         validity = np.unpackbits(bits, bitorder="little")[: header["n"]].astype(bool)
     return to_arrow(col, validity)
+
+
+# --------------------------------------------------------------------------
+# list columns (array<primitive>) — composite child + lengths block
+# --------------------------------------------------------------------------
+#
+# The embeddings/training-pipeline case: an ``array<float>`` column rides
+# the SAME block store as flat columns by decomposing into its arrow parts
+# and recursively encoding each with the normal codec machinery — child
+# values (one concatenated primitive array → fbss/forbp/fsst pick up the
+# usual wins) and per-row lengths (constant for fixed-dim embeddings → RLE
+# collapses them).  One level only (value types: numeric/string); outer
+# nulls ride the header validity like every other block.
+
+def _is_supported_list(t: pa.DataType) -> bool:
+    if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+        return False
+    v = t.value_type
+    return (pa.types.is_floating(v) or pa.types.is_integer(v)
+            or pa.types.is_string(v) or pa.types.is_boolean(v))
+
+
+def _encode_list_block(arr: pa.Array, codec: str = "auto",
+                       ctx: EncodeContext | None = None,
+                       post: str | None = None) -> bytes:
+    import pyarrow.compute as pc
+
+    lens = pc.fill_null(pc.list_value_length(arr), 0)
+    lens64 = pa.array(np.asarray(lens, dtype=np.int64))
+    child = pc.list_flatten(arr)            # values of non-null slots only
+    sub_ctx = ctx if ctx is not None else EncodeContext()
+    child_blk = encode_block(child, codec=codec, ctx=sub_ctx)
+    lens_blk = encode_block(lens64)
+    payload = b"".join([len(child_blk).to_bytes(4, "little"),
+                        child_blk, lens_blk])
+    header: dict = {"n": len(arr), "k": "list",
+                    "t": str(arr.type.value_type),
+                    "lg": 1 if pa.types.is_large_list(arr.type) else 0}
+    if arr.null_count:
+        validity = np.asarray(arr.is_valid())
+        header["v"] = base64.b64encode(
+            np.packbits(validity, bitorder="little").tobytes()).decode("ascii")
+    if post is not None:
+        if post != "zlib":
+            raise BlockError(f"unknown post-encode transform {post!r}")
+        payload = zlib.compress(payload, 6)
+        header["z"] = 1
+    header["crc"] = zlib.crc32(payload)
+    return _frame(BY_NAME["plain"].codec_id, header, payload)
+
+
+def _decode_list_block(header: dict, payload) -> pa.Array:
+    payload = memoryview(payload)
+    clen = int.from_bytes(payload[:4], "little")
+    child = decode_block(payload[4: 4 + clen])
+    lens = np.asarray(decode_block(payload[4 + clen:]), dtype=np.int64)
+    off_dtype = np.int64 if header.get("lg") else np.int32
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(off_dtype)
+    mask = None
+    if "v" in header:
+        bits = np.frombuffer(base64.b64decode(header["v"]), dtype=np.uint8)
+        valid = np.unpackbits(bits, bitorder="little")[: header["n"]].astype(bool)
+        mask = pa.array(~valid)
+    cls = pa.LargeListArray if header.get("lg") else pa.ListArray
+    return cls.from_arrays(pa.array(offsets), child, mask=mask)
 
 
 # --------------------------------------------------------------------------

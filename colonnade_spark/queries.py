@@ -199,6 +199,52 @@ def _sql_geolite_blocks() -> str:
             f" FROM ({SQL_GEOLITE_BLOCKS_GEN})")
 
 
+def q_rt_embeddings(spark, sf_dir):
+    """Engine round-trip of an ``array<float>`` column — list blocks
+    (blocks._encode_list_block): the embedding column decomposes into a
+    child float array (fbss byte-stream split) plus per-row lengths (RLE
+    collapses the constant dim), rides the block store, and reassembles
+    bit-exact.  Output folds each decoded vector to integer micro-units
+    (float32 × 1e6 in DOUBLE is exact: 24+20 bits; both engines round
+    half-away-from-zero) and xors them — order-sensitive-free, fp-safe."""
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    df = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding",
+                                                   "label")
+
+    def rt(batches):
+        import pyarrow as pa
+
+        from colonnade_spark import blocks as B
+        for batch in batches:
+            arrs = [B.decode_block(B.encode_block(batch.column(i)))
+                    for i in range(batch.num_columns)]
+            yield pa.RecordBatch.from_arrays(arrs, names=batch.schema.names)
+
+    out = df.mapInArrow(rt, df.schema)
+    milli = ("transform(embedding, x ->"
+             " cast(round(cast(x as double) * 1000000) as bigint))")
+    return out.select(
+        F.col("vec_id").cast("bigint"),
+        F.col("label").cast("bigint"),
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.expr(f"aggregate({milli}, cast(0 as bigint), (a, x) -> a ^ x)")
+        .alias("e_xor"))
+
+
+SQL_RT_EMBEDDINGS = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(label AS BIGINT) AS label,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(coalesce(list_aggregate(
+              list_transform(embedding::DOUBLE[],
+                             x -> CAST(round(x * 1000000) AS BIGINT)),
+              'bit_xor'), 0) AS BIGINT) AS e_xor
+FROM embeddings
+"""
+
+
 def q_rt_events_ts(spark, sf_dir):
     """Engine round-trip over the EVENTS table — timestamps ride as int64
     microseconds (auto selection: near-monotonic event times land on
@@ -2082,6 +2128,9 @@ def _raw_registry() -> dict:
         # events table: int64-microsecond timestamps + doubles through the
         # engine (identity oracle on the same parquet values)
         "rt_events_ts": (q_rt_events_ts, SQL_RT_EVENTS),
+        # array<float> through the block store (list blocks): child fbss +
+        # RLE'd lengths; integer micro-unit xor fold for fp-safe parity
+        "rt_embeddings": (q_rt_embeddings, SQL_RT_EMBEDDINGS),
         # string zone maps: stripe pruning + residual predicate == plain SQL
         "zone_decode_strings": (q_zone_decode_strings, SQL_ZONE_DECODE),
         # stats & combinators

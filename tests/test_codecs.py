@@ -408,3 +408,36 @@ def test_cell_fragment_out_of_range_index_is_loud():
     forged_same_n = reattach_header(manifest, payload)
     with pytest.raises(BlockError, match="out of range"):
         decode_cell_fragments(frames + [forged_same_n])
+
+
+def test_list_block_roundtrips():
+    """array<primitive> columns through the block store (list blocks):
+    fixed-dim float embeddings, ragged int lists with nulls and empties,
+    large_list of strings, post-zlib fmap, and loud crc."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from colonnade_spark import blocks
+
+    rng = np.random.default_rng(7)
+    emb = pa.array([list(rng.standard_normal(64).astype(np.float32))
+                    for _ in range(500)], type=pa.list_(pa.float32()))
+    blk = blocks.encode_block(emb)
+    assert blocks.decode_block(blk).equals(emb)        # bit-exact floats
+
+    ragged = pa.array([[1, 2, 3], None, [], [5], None, list(range(100))],
+                      type=pa.list_(pa.int64()))
+    assert blocks.decode_block(blocks.encode_block(ragged)).equals(ragged)
+
+    ls = pa.array([["a", "bb"], ["ccc"], []], type=pa.large_list(pa.string()))
+    assert blocks.decode_block(blocks.encode_block(ls)).equals(ls)
+
+    z = blocks.encode_block(ragged, post="zlib")
+    assert blocks.block_info(z)["z"] == 1
+    assert blocks.decode_block(z).equals(ragged)
+
+    bad = bytearray(blk)
+    bad[-1] ^= 1
+    with pytest.raises(blocks.BlockError, match="crc"):
+        blocks.decode_block(bytes(bad))
