@@ -479,3 +479,26 @@ def test_decode_pre_fragment_warehouse_backcompat(spark, tmp_path):
         pq.write_table(t.drop_columns(["frag"]), fp, compression="NONE")
     assert engine.decode_table(spark, wh).count() == 300
     assert engine.decode_table(spark, wh, shuffle=True).count() == 300
+
+def test_engine_end_to_end_array_column(spark, tmp_path):
+    """FULL engine path for an array<float> column (not just the blocks
+    layer): staging (parquet with the list column), per-bucket stripe
+    cutting (rough row-size floor for nested types), list-block encode,
+    shuffle-free decode — values back bit-exact, lengths intact."""
+    from colonnade_spark import engine
+    from colonnade_spark.plan import plan
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = (plan().headed("vec_id").headed("embedding").headed("label")
+         .with_keys("vec_id"))
+    wh = str(tmp_path / "wh")
+    m = engine.encode_table(spark, src, p, wh, n_buckets=4,
+                            stripe_bytes=1 << 20, input_token="emb")
+    assert m["rows"] == src.count()
+    got = {r["vec_id"]: (r["embedding"], r["label"])
+           for r in engine.decode_table(spark, wh).collect()}
+    want = {r["vec_id"]: (r["embedding"], r["label"]) for r in src.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert got[k][0] == want[k][0]          # float32 bit-exact
