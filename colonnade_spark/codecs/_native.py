@@ -1,0 +1,135 @@
+"""Optional C fast path for the FSST greedy scan, compiled at first use
+with the toolchain already in the image (plain ``cc -O2 -shared``) and
+loaded via ctypes — no third-party packages, no install step.
+
+The kernel is a direct transliteration of the numpy wave loop's matching
+rules (fsst._greedy_encode): per position, try the 3..8-byte hashed
+symbol, then the 2-byte direct table, then the 1-byte table, never
+crossing a segment end.  Greedy encode is sequential PER SEGMENT and
+independent ACROSS segments, so scan order doesn't affect the result —
+the C path and the numpy wave path produce byte-identical ``code_at``
+arrays (CRC-asserted in tests), which keeps resume/determinism intact
+even in a mixed fleet where some workers failed to compile and fell back.
+
+Failure of any step (no compiler, sandboxed /tmp, load error) degrades to
+``lib = None`` and the numpy path — the C kernel is an optimization, not
+a dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_SRC = r"""
+#include <stdint.h>
+#include <string.h>
+
+int64_t greedy_scan(const uint8_t *pad,
+                 const int64_t *seg_s, const int64_t *seg_e, int64_t n_segs,
+                 const uint8_t *t1, const uint8_t *t2,
+                 const uint64_t *hkey, const uint64_t *hmask,
+                 const int32_t *hlen, const uint8_t *hcode,
+                 int64_t *units_out, uint8_t *codes_out)
+{
+    int64_t k = 0;   /* segments are start-ordered, so units emit ascending */
+    for (int64_t s = 0; s < n_segs; s++) {
+        int64_t p = seg_s[s];
+        const int64_t end = seg_e[s];
+        while (p < end) {
+            uint64_t key8;
+            memcpy(&key8, pad + p, 8);          /* little-endian hosts */
+            const int64_t rem = end - p;
+            uint32_t h = ((uint32_t)(key8 & 0xFFFFFFu) * 2654435761u) >> 20;
+            const int32_t hl = hlen[h];
+            int64_t len;
+            uint8_t c;
+            if (hl > 0 && (key8 & hmask[h]) == hkey[h] && hl <= rem) {
+                len = hl;
+                c = hcode[h];
+            } else {
+                const uint8_t c2 = t2[key8 & 0xFFFFu];
+                if (c2 != 255 && rem >= 2) {
+                    len = 2;
+                    c = c2;
+                } else {
+                    len = 1;
+                    c = t1[key8 & 0xFFu];
+                }
+            }
+            units_out[k] = p;
+            codes_out[k] = c;
+            k++;
+            p += len;
+        }
+    }
+    return k;
+}
+"""
+
+_HASH_SHIFT_CHECK = 32 - 12  # must match fsst._HASH_BITS (shift 20 in C)
+
+lib = None
+_tried = False
+
+
+def _build() -> "ctypes.CDLL | None":
+    tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
+    cache = os.environ.get("COLONNADE_NATIVE_DIR", tempfile.gettempdir())
+    so_path = os.path.join(cache, f"colonnade_fsst_{tag}.so")
+    if not os.path.exists(so_path):
+        src_path = os.path.join(cache, f"colonnade_fsst_{tag}.c")
+        tmp_so = f"{so_path}.{os.getpid()}.tmp"
+        with open(src_path, "w") as f:
+            f.write(_SRC)
+        subprocess.run(
+            ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, src_path],
+            check=True, capture_output=True, timeout=60)
+        os.replace(tmp_so, so_path)     # atomic: concurrent workers race safely
+    dll = ctypes.CDLL(so_path)
+    i64 = ctypes.c_int64
+    p = ctypes.POINTER
+    dll.greedy_scan.argtypes = [
+        p(ctypes.c_uint8), p(i64), p(i64), i64,
+        p(ctypes.c_uint8), p(ctypes.c_uint8),
+        p(ctypes.c_uint64), p(ctypes.c_uint64),
+        p(ctypes.c_int32), p(ctypes.c_uint8),
+        p(i64), p(ctypes.c_uint8)]
+    dll.greedy_scan.restype = i64
+    return dll
+
+
+def get_lib():
+    global lib, _tried
+    if not _tried:
+        _tried = True
+        try:
+            lib = _build()
+        except Exception:
+            lib = None              # numpy fallback; never fatal
+    return lib
+
+
+def greedy_scan(pad, seg_s, seg_e, t1, t2, hkey, hmask, hlen, hcode,
+                units_out, codes_out):
+    """Run the C scan into preallocated output arrays; returns the unit
+    count, or None when the kernel is unavailable (numpy path)."""
+    dll = get_lib()
+    if dll is None:
+        return None
+    cp = ctypes.POINTER
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(cp(ct))
+
+    return int(dll.greedy_scan(
+        ptr(pad, ctypes.c_uint8),
+        ptr(seg_s, ctypes.c_int64), ptr(seg_e, ctypes.c_int64),
+        ctypes.c_int64(len(seg_s)),
+        ptr(t1, ctypes.c_uint8), ptr(t2, ctypes.c_uint8),
+        ptr(hkey, ctypes.c_uint64), ptr(hmask, ctypes.c_uint64),
+        ptr(hlen, ctypes.c_int32), ptr(hcode, ctypes.c_uint8),
+        ptr(units_out, ctypes.c_int64), ptr(codes_out, ctypes.c_uint8)))

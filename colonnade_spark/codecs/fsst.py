@@ -99,6 +99,12 @@ class SymbolTable:
         self._t1, self._t2 = t1, t2
         self._slot = slot
         self._hkey, self._hmask, self._hlen, self._hcode = hkey, hmask, hlen, hcode
+        # contiguous copies for the optional C kernel (the structured-array
+        # fields above are strided views; ctypes needs packed buffers)
+        self._c_hkey = np.ascontiguousarray(hkey)
+        self._c_hmask = np.ascontiguousarray(hmask)
+        self._c_hlen = np.ascontiguousarray(hlen)
+        self._c_hcode = np.ascontiguousarray(hcode)
         return self
 
     def lens_array(self) -> np.ndarray:
@@ -155,9 +161,6 @@ def _greedy_encode(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
     Returns (unit positions ascending, unit codes; ESCAPE where literal).
     """
     n = data.size
-    # one int16 scatter per wave fuses the taken-bitmap and code stores
-    # (-1 = no unit starts here); codes are re-narrowed to u8 at the end.
-    code_at = np.full(n, -1, dtype=np.int16)
     if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8)
     seg_s, seg_e = _segment_bounds(offsets, _seg_for(n))
@@ -171,6 +174,28 @@ def _greedy_encode(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
     n_pad = ((n + MAX_LEN + 15) // 8) * 8
     pad = np.zeros(n_pad, dtype=np.uint8)
     pad[:n] = data
+    # optional C fast path (codecs/_native.py): identical matching rules,
+    # byte-identical output (CRC-asserted in tests); falls back to the
+    # numpy wave loop below when no compiler/library is available.  The C
+    # source hardcodes the hash shift for _HASH_BITS == 12.  Units emit
+    # directly (ascending: segments are start-ordered), skipping the
+    # code_at scatter + flatnonzero passes entirely.
+    assert _HASH_BITS == 12
+    from . import _native
+    units_out = np.empty(n, dtype=np.int64)
+    codes_out = np.empty(n, dtype=np.uint8)
+    k = _native.greedy_scan(pad, np.ascontiguousarray(seg_s),
+                            np.ascontiguousarray(seg_e),
+                            table._t1, table._t2,
+                            table._c_hkey, table._c_hmask,
+                            table._c_hlen, table._c_hcode,
+                            units_out, codes_out)
+    if k is not None:
+        return units_out[:k], codes_out[:k]
+    # numpy wave fallback: one int16 scatter per wave fuses the
+    # taken-bitmap and code stores (-1 = no unit starts here); codes are
+    # re-narrowed to u8 at the end.
+    code_at = np.full(n, -1, dtype=np.int16)
     u64v = np.lib.stride_tricks.as_strided(
         pad.view("<u8"), shape=(n_pad - 8,), strides=(1,))
     n_segs = seg_s.size

@@ -441,3 +441,36 @@ def test_list_block_roundtrips():
     bad[-1] ^= 1
     with pytest.raises(blocks.BlockError, match="crc"):
         blocks.decode_block(bytes(bad))
+
+
+def test_fsst_native_and_numpy_paths_identical():
+    """The optional C kernel and the numpy wave loop must produce
+    byte-identical unit/code streams (mixed fleets where some workers
+    fell back must stay deterministic).  Skips the comparison half if no
+    compiler is available (numpy path is then the only path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from colonnade_spark.codecs import _native, fsst
+    from colonnade_spark.codecs.base import from_arrow
+
+    line = "    return self.value + other.value  # add\n"
+    vals = [line * (i % 17 + 1) + f"u{i}\n" + "日本語🎉" * (i % 3)
+            for i in range(400)]
+    col, _ = from_arrow(pa.array(vals))
+    table = fsst.build_symbol_table(col.data, col.offsets)
+    u1, c1 = fsst._greedy_encode(col.data, col.offsets, table)
+
+    real = _native.greedy_scan
+    try:
+        _native.greedy_scan = lambda *a, **k: None       # force numpy path
+        u2, c2 = fsst._greedy_encode(col.data, col.offsets, table)
+    finally:
+        _native.greedy_scan = real
+    assert np.array_equal(u1, u2) and np.array_equal(c1, c2)
+    if _native.get_lib() is None:
+        return
+    # and the full stream round-trips under the native path
+    stream, counts = fsst._encode_stream(col.data, col.offsets, table)
+    d, o = fsst._decode_stream(stream, counts, table)
+    assert np.array_equal(d, col.data) and np.array_equal(o, col.offsets)
