@@ -68,6 +68,34 @@ int64_t greedy_scan(const uint8_t *pad,
     }
     return k;
 }
+
+int64_t decode_stream(const uint8_t *stream, int64_t stream_len,
+                      const int64_t *counts, int64_t n_strings,
+                      const uint8_t *sym_flat, const int64_t *sym_off,
+                      const int64_t *sym_len,
+                      uint8_t *out_buf, int64_t *out_offsets)
+{
+    int64_t i = 0, out = 0;
+    for (int64_t s = 0; s < n_strings; s++) {
+        out_offsets[s] = out;
+        int64_t end = i + counts[s];
+        if (end > stream_len) end = stream_len;      /* crc guards; no OOB */
+        while (i < end) {
+            const uint8_t b = stream[i];
+            if (b == 255) {
+                if (i + 1 < end) out_buf[out++] = stream[i + 1];
+                i += 2;
+            } else {
+                const int64_t l = sym_len[b];
+                memcpy(out_buf + out, sym_flat + sym_off[b], (size_t)l);
+                out += l;
+                i += 1;
+            }
+        }
+    }
+    out_offsets[n_strings] = out;
+    return out;
+}
 """
 
 _HASH_SHIFT_CHECK = 32 - 12  # must match fsst._HASH_BITS (shift 20 in C)
@@ -99,6 +127,11 @@ def _build() -> "ctypes.CDLL | None":
         p(ctypes.c_int32), p(ctypes.c_uint8),
         p(i64), p(ctypes.c_uint8)]
     dll.greedy_scan.restype = i64
+    dll.decode_stream.argtypes = [
+        p(ctypes.c_uint8), i64, p(i64), i64,
+        p(ctypes.c_uint8), p(i64), p(i64),
+        p(ctypes.c_uint8), p(i64)]
+    dll.decode_stream.restype = i64
     return dll
 
 
@@ -133,3 +166,23 @@ def greedy_scan(pad, seg_s, seg_e, t1, t2, hkey, hmask, hlen, hcode,
         ptr(hkey, ctypes.c_uint64), ptr(hmask, ctypes.c_uint64),
         ptr(hlen, ctypes.c_int32), ptr(hcode, ctypes.c_uint8),
         ptr(units_out, ctypes.c_int64), ptr(codes_out, ctypes.c_uint8)))
+
+
+def decode_stream(stream, counts, sym_flat, sym_off, sym_len,
+                  out_buf, out_offsets):
+    """Run the C decode; returns total output bytes, or None when the
+    kernel is unavailable (numpy path)."""
+    dll = get_lib()
+    if dll is None:
+        return None
+    cp = ctypes.POINTER
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(cp(ct))
+
+    i64 = ctypes.c_int64
+    return int(dll.decode_stream(
+        ptr(stream, ctypes.c_uint8), i64(len(stream)),
+        ptr(counts, i64), i64(len(counts)),
+        ptr(sym_flat, ctypes.c_uint8), ptr(sym_off, i64), ptr(sym_len, i64),
+        ptr(out_buf, ctypes.c_uint8), ptr(out_offsets, i64)))

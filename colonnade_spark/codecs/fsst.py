@@ -279,7 +279,30 @@ def _classify_stream(stream: np.ndarray) -> np.ndarray:
 def _decode_stream(stream: np.ndarray, counts: np.ndarray, table: SymbolTable
                    ) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of _encode_stream → (data bytes, offsets)."""
+    from . import _native
+
     n_strings = counts.size
+    if _native.get_lib() is not None:
+        # C fast path: one sequential pass (escape consumes the next byte,
+        # codes copy their symbol) — byte-identical to the numpy
+        # run-analysis path below, equality-tested in test_codecs.
+        sym_off256 = np.zeros(256, dtype=np.int64)
+        sym_len256 = np.zeros(256, dtype=np.int64)
+        lens = np.array([len(s) for s in table.symbols], dtype=np.int64)
+        if lens.size:
+            sym_off256[:lens.size] = np.concatenate(([0], np.cumsum(lens[:-1])))
+            sym_len256[:lens.size] = lens
+        sym_flat = np.frombuffer(b"".join(table.symbols), dtype=np.uint8) \
+            if table.symbols else np.zeros(0, dtype=np.uint8)
+        out_buf = np.empty(int(stream.size) * MAX_LEN + 16, dtype=np.uint8)
+        out_off = np.empty(n_strings + 1, dtype=np.int64)
+        total = _native.decode_stream(
+            np.ascontiguousarray(stream), np.ascontiguousarray(
+                counts, dtype=np.int64),
+            np.ascontiguousarray(sym_flat), sym_off256, sym_len256,
+            out_buf, out_off)
+        if total is not None:
+            return out_buf[:total], out_off
     lens_by_code = table.lens_array()
     sym_flat = np.frombuffer(b"".join(table.symbols), dtype=np.uint8)
     sym_off = np.concatenate(([0], np.cumsum([len(s) for s in table.symbols]))).astype(np.int64)

@@ -474,3 +474,32 @@ def test_fsst_native_and_numpy_paths_identical():
     stream, counts = fsst._encode_stream(col.data, col.offsets, table)
     d, o = fsst._decode_stream(stream, counts, table)
     assert np.array_equal(d, col.data) and np.array_equal(o, col.offsets)
+
+
+def test_fsst_native_decode_matches_numpy():
+    """C decode pass vs the numpy run-analysis path: identical bytes and
+    offsets on text with adversarial escape density (many bytes outside
+    any symbol), plus empty strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from colonnade_spark.codecs import _native, fsst
+    from colonnade_spark.codecs.base import from_arrow
+
+    rng = np.random.default_rng(13)
+    vals = ["".join(chr(c) for c in rng.integers(32, 1200, size=rng.integers(0, 200)))
+            + ("the common phrase " * (i % 5)) for i in range(300)]
+    vals += ["", "\xff" * 10, "normal text"]
+    col, _ = from_arrow(pa.array(vals))
+    table = fsst.build_symbol_table(col.data, col.offsets)
+    stream, counts = fsst._encode_stream(col.data, col.offsets, table)
+
+    d1, o1 = fsst._decode_stream(stream, counts, table)
+    real = _native.get_lib
+    try:
+        _native.get_lib = lambda: None                   # force numpy path
+        d2, o2 = fsst._decode_stream(stream, counts, table)
+    finally:
+        _native.get_lib = real
+    assert np.array_equal(d1, d2) and np.array_equal(o1, o2)
+    assert np.array_equal(d1, col.data) and np.array_equal(o1, col.offsets)
