@@ -92,9 +92,13 @@ def encode_worker(cores: int, corpus_dir: str, out_json: str,
     for _attempt in range(max(attempts, 1)):
         shutil.rmtree(wh, ignore_errors=True)
         t0 = time.time()
+        # fused single-pass path by default (encode inside the shuffle task,
+        # no staged-parquet materialization — byte-identical blocks, see
+        # engine.encode_table); BENCH_STAGED=1 measures the two-phase path
         manifest = engine.encode_table(
             spark, df, corpus_plan(), wh, n_buckets=n_buckets,
-            stripe_bytes=4 << 20, mode="overwrite", input_token=f"bench{N_FILES}")
+            stripe_bytes=4 << 20, mode="overwrite", input_token=f"bench{N_FILES}",
+            fused=os.environ.get("BENCH_STAGED") != "1")
         attempt_wall = time.time() - t0
         walls.append(round(attempt_wall, 3))
         if wall is None or attempt_wall < wall:

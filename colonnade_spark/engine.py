@@ -3,14 +3,22 @@
 Pipeline (SURVEY.md §3.2-3.3 generalized to Spark):
 
 encode:  plan.project(df)  → salt/bucket assignment (skew pre-pass)
-         → stage: repartition(n_buckets, bucket) + sortWithinPartitions(keys)
-           written parquet-partitioned by bucket       [Catalyst-planned]
-         → per-bucket encode tasks (one task per pending bucket): stream
-           record batches, cut size-capped row-aligned stripes, encode each
-           column to a framed block, write blocks+lineage, drop a checkpoint
-           marker                                      [imperative by design:
-           per-partition checkpoint/resume semantics Spark's job-atomic
-           committer cannot express — north_rule "resumable from checkpoint"]
+         → two interchangeable execution paths (byte-identical blocks):
+           FUSED (default for bench; encode_table(fused=True)): one pass —
+             repartition(n_buckets, bucket) + sortWithinPartitions(bucket,
+             keys) + mapInArrow per-bucket encode inside the shuffle task;
+             the corpus is materialized once (shuffle files), not twice.
+           STAGED: repartition + sort written parquet-partitioned by bucket
+             [Catalyst-planned], then per-bucket encode tasks re-read it —
+             the shuffle itself becomes durable, so resume skips even the
+             re-shuffle (at the cost of a full extra round-trip through
+             shared storage — at 100 TB that is the dominant difference).
+         → per-bucket encode (both paths): stream record batches, cut
+           size-capped row-aligned stripes, encode each column to a framed
+           block, write blocks+lineage, drop a checkpoint marker
+           [imperative by design: per-partition checkpoint/resume semantics
+           Spark's job-atomic committer cannot express — north_rule
+           "resumable from checkpoint"]
 
 decode:  read blocks parquet → groupBy(bucket, stripe).applyInPandas
          → reassembled rows with the planned schema
@@ -166,6 +174,18 @@ def _row_sizes(batch: pa.RecordBatch) -> np.ndarray:
 
 
 def _stripe_iter(pf_paths, columns, stripe_bytes):
+    """Parquet wrapper over :func:`_stripe_iter_batches` (the staged path:
+    one bucket = one staged parquet dir)."""
+
+    def batches():
+        for path in pf_paths:
+            pf = pq.ParquetFile(path)
+            yield from pf.iter_batches(batch_size=8192, columns=columns)
+
+    yield from _stripe_iter_batches(batches(), stripe_bytes)
+
+
+def _stripe_iter_batches(batch_iter, stripe_bytes):
     """Yield row-aligned arrow Tables, each <= stripe_bytes unless a SINGLE
     row alone exceeds the cap (that row is then isolated into its own
     stripe — the multi-block-cell path fragments it further at encode).
@@ -173,35 +193,38 @@ def _stripe_iter(pf_paths, columns, stripe_bytes):
     Cuts use EXACT per-row byte sizes (not a uniform-row estimate):
     ``searchsorted(side="right")`` takes the longest prefix whose byte sum
     fits the remaining room, so the cap is honored exactly — including on a
-    fresh stripe, where an oversized row never drags a neighbor with it."""
+    fresh stripe, where an oversized row never drags a neighbor with it.
+
+    Cut positions depend ONLY on the row sequence and per-row byte sizes —
+    never on how the input is batched — so the staged (parquet, 8192-row
+    read batches) and fused (shuffle, arrow stream batches) paths produce
+    byte-identical stripes for the same bucket content."""
     buf, buf_bytes = [], 0
-    for path in pf_paths:
-        pf = pq.ParquetFile(path)
-        for batch in pf.iter_batches(batch_size=8192, columns=columns):
-            if batch.num_rows == 0:
-                continue
-            sizes = _row_sizes(batch)
-            cum = np.cumsum(sizes)
-            lo = 0
-            while lo < batch.num_rows:
-                room = stripe_bytes - buf_bytes
-                if buf_bytes and int(sizes[lo]) > room:
-                    # next row alone overflows the open stripe: close it so
-                    # an oversized row starts (and fills) its own stripe
-                    yield pa.Table.from_batches(buf)
-                    buf, buf_bytes = [], 0
-                    room = stripe_bytes
-                base = int(cum[lo - 1]) if lo else 0
-                # longest prefix with byte sum <= room; max(..., lo+1) is the
-                # progress guarantee when a single row alone exceeds the cap
-                hi = int(np.searchsorted(cum, base + room, side="right"))
-                hi = min(max(hi, lo + 1), batch.num_rows)
-                buf.append(batch.slice(lo, hi - lo))
-                buf_bytes += int(cum[hi - 1]) - base
-                if buf_bytes >= stripe_bytes:
-                    yield pa.Table.from_batches(buf)
-                    buf, buf_bytes = [], 0
-                lo = hi
+    for batch in batch_iter:
+        if batch.num_rows == 0:
+            continue
+        sizes = _row_sizes(batch)
+        cum = np.cumsum(sizes)
+        lo = 0
+        while lo < batch.num_rows:
+            room = stripe_bytes - buf_bytes
+            if buf_bytes and int(sizes[lo]) > room:
+                # next row alone overflows the open stripe: close it so
+                # an oversized row starts (and fills) its own stripe
+                yield pa.Table.from_batches(buf)
+                buf, buf_bytes = [], 0
+                room = stripe_bytes
+            base = int(cum[lo - 1]) if lo else 0
+            # longest prefix with byte sum <= room; max(..., lo+1) is the
+            # progress guarantee when a single row alone exceeds the cap
+            hi = int(np.searchsorted(cum, base + room, side="right"))
+            hi = min(max(hi, lo + 1), batch.num_rows)
+            buf.append(batch.slice(lo, hi - lo))
+            buf_bytes += int(cum[hi - 1]) - base
+            if buf_bytes >= stripe_bytes:
+                yield pa.Table.from_batches(buf)
+                buf, buf_bytes = [], 0
+            lo = hi
     if buf:
         yield pa.Table.from_batches(buf)
 
@@ -221,23 +244,37 @@ def _pin_arrow_threads() -> None:
 def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
                    plan_json: str, stripe_bytes: int,
                    fingerprint: str = "") -> dict:
-    """One checkpointable unit of work: encode every stripe of one bucket."""
-    wall0 = time.perf_counter()
+    """One checkpointable unit of work: encode every stripe of one bucket
+    (staged path: the bucket's rows come from its staged parquet dir)."""
     _pin_arrow_threads()
     plan = EncodePlan.from_json(plan_json)
+    paths = sorted(glob.glob(os.path.join(staged_dir, f"__bucket={bucket}", "*.parquet")))
+    stripes = _stripe_iter(paths, plan.column_names, stripe_bytes)
+    return _encode_bucket_core(bucket, stripes, warehouse, plan,
+                               stripe_bytes, fingerprint)
+
+
+def _encode_bucket_core(bucket: int, stripes, warehouse: str,
+                        plan: EncodePlan, stripe_bytes: int,
+                        fingerprint: str = "") -> dict:
+    """Encode an iterator of row-aligned stripe Tables for one bucket and
+    atomically publish blocks + lineage + checkpoint marker.  Shared by the
+    staged (parquet re-read) and fused (in-shuffle mapInArrow) paths —
+    stripe cutting is batching-independent, so both paths emit byte-
+    identical blocks for the same bucket content."""
+    wall0 = time.perf_counter()
     cols = plan.column_names
     bdir = os.path.join(warehouse, "blocks", f"bucket={bucket}")
     ldir = os.path.join(warehouse, "lineage")
     os.makedirs(bdir, exist_ok=True)
     os.makedirs(ldir, exist_ok=True)
-    paths = sorted(glob.glob(os.path.join(staged_dir, f"__bucket={bucket}", "*.parquet")))
     rows_out, lineage = [], []
     stripe = 0
     total_in = total_out = n_rows_total = 0
     # per-column encode context: FSST symbol table built on the first stripe
     # is reused across the bucket (plan-reuse, Encode.hs:560-566)
     ctxs = {name: B.EncodeContext() for name in cols}
-    for table in _stripe_iter(paths, cols, stripe_bytes):
+    for table in stripes:
         for name in cols:
             spec = next(s for s in plan.specs if s.name == name)
             arr = table.column(name).combine_chunks()
@@ -348,11 +385,24 @@ def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
 def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
                  n_buckets: int = 32, stripe_bytes: int = 4 << 20,
                  target_salt_bytes: int = 64 << 20,
-                 mode: str = "error", input_token: str = "") -> dict:
+                 mode: str = "error", input_token: str = "",
+                 fused: bool = False) -> dict:
     """Run the encode job; returns the manifest dict.
 
     mode: "error" (refuse existing warehouse), "overwrite", or "resume"
     (skip staged input and completed buckets — the checkpoint path).
+
+    fused=True runs the single-pass path: the per-bucket encode happens
+    INSIDE the shuffle task (``repartition(__bucket)`` →
+    ``sortWithinPartitions`` → ``mapInArrow``), so the corpus is
+    materialized once (shuffle files) instead of twice (shuffle + staged
+    parquet) — at 100 TB the staged write is a full extra round-trip
+    through shared storage.  Checkpoint granularity is unchanged (per-
+    bucket markers, byte-identical blocks); a resumed fused run re-shuffles
+    only the rows of buckets without a valid marker (completed buckets are
+    anti-joined out BEFORE the shuffle).  The staged path remains for
+    workloads that want the shuffle itself durable (resume skips even the
+    re-shuffle at the cost of the extra materialization).
     """
     import shutil
 
@@ -374,6 +424,13 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
     projected = plan.project(df)
     schema_ddl = projected.select(*plan.column_names).schema.simpleString()
 
+    if fused:
+        return _encode_fused(spark, projected, plan, warehouse,
+                             n_buckets=n_buckets, stripe_bytes=stripe_bytes,
+                             target_salt_bytes=target_salt_bytes, mode=mode,
+                             fingerprint=fingerprint, schema_ddl=schema_ddl,
+                             manifest_path=manifest_path)
+
     t_stage0 = time.time()
     need_stage = True
     if mode == "resume" and os.path.exists(staged_marker):
@@ -393,8 +450,14 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
         # small inputs but a wash-to-loss at bench scale, where staging is
         # bound by the single shared disk and +12% scratch bytes cost more
         # than the cheaper compressor saves.
+        # sort key MUST lead with __bucket: the dynamic-partitionBy writer
+        # requires its input sorted by the partition column and silently
+        # ADDS a sort(__bucket) when it is not — which destroys the
+        # clustering order inside each bucket (measured: ~8% worse
+        # compressed ratio).  Leading with __bucket makes the existing
+        # order satisfy the writer's requirement, so it is preserved.
         (bucketed.repartition(n_buckets, F.col("__bucket"))
-                 .sortWithinPartitions(*order)
+                 .sortWithinPartitions("__bucket", *order)
                  .write.mode("overwrite").partitionBy("__bucket")
                  .option("compression", "zstd")
                  .parquet(staged_dir))
@@ -495,6 +558,141 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
     return manifest
 
 
+def _encode_fused(spark, projected, plan: EncodePlan, warehouse: str, *,
+                  n_buckets: int, stripe_bytes: int, target_salt_bytes: int,
+                  mode: str, fingerprint: str, schema_ddl: str,
+                  manifest_path: str) -> dict:
+    """Single-pass encode: shuffle by bucket and encode inside the shuffle
+    task via ``mapInArrow`` (see :func:`encode_table` ``fused=True``).
+
+    One hash partition can hold SEVERAL bucket ids (pmod(hash(b), n) is not
+    the identity), but a bucket id never splits across partitions — the
+    task iterator groups contiguous ``__bucket`` runs (the partition is
+    sorted by ``__bucket`` first) and feeds each run's batches straight
+    into the shared per-bucket stripe encoder.  Driver state stays
+    O(n_buckets ints); per-bucket stats come back as the mapInArrow output
+    rows and are folded by a Spark aggregation, not a collect."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    sc = spark.sparkContext
+    mdir = os.path.join(warehouse, "markers")
+    done: set = set()
+    resumed_stats = (0, 0, 0, 0, 0.0)
+    if mode == "resume":
+        mpaths = glob.glob(os.path.join(mdir, "bucket_*.json"))
+        if mpaths:
+            def _read_marker(p):
+                with open(p) as f:
+                    return json.load(f)
+
+            rdd = sc.parallelize(mpaths, max(1, min(len(mpaths),
+                                                    4 * int(sc.defaultParallelism))))
+            marker_rows = (rdd.map(_read_marker)
+                           .filter(lambda m: m.get("fingerprint") == fingerprint)
+                           .map(lambda m: (m["bucket"],
+                                           (1, m["rows"], m["bytes_in"],
+                                            m["bytes_out"],
+                                            float(m.get("wall_s", 0.0)))))
+                           .collect())
+            done = {b for b, _ in marker_rows}
+            for _, s in marker_rows:
+                resumed_stats = tuple(x + y for x, y in zip(resumed_stats, s))
+        # stale state from a different fingerprint (plan / input / bucket
+        # count changed) must not leak into the final warehouse: drop any
+        # marker, block dir, or lineage file without a valid marker
+        for p in glob.glob(os.path.join(mdir, "bucket_*.json")):
+            if int(os.path.basename(p)[len("bucket_"):-len(".json")]) not in done:
+                os.remove(p)
+        for p in glob.glob(os.path.join(warehouse, "blocks", "bucket=*")):
+            if int(p.split("bucket=")[-1]) not in done:
+                shutil.rmtree(p, ignore_errors=True)
+        for p in glob.glob(os.path.join(warehouse, "lineage", "bucket_*.parquet")):
+            if int(os.path.basename(p)[len("bucket_"):-len(".parquet")]) not in done:
+                os.remove(p)
+
+    bucketed = assign_buckets(projected, plan, n_buckets, target_salt_bytes)
+    if done:
+        # completed buckets never enter the shuffle: anti-join against the
+        # (tiny, broadcast) done set — the fused-path resume skip
+        done_df = spark.createDataFrame([(int(b),) for b in sorted(done)],
+                                        "__bucket int")
+        bucketed = bucketed.join(F.broadcast(done_df), "__bucket", "left_anti")
+
+    order = plan.stage_order or plan.column_names
+    plan_json = plan.to_json()
+    cols = list(plan.column_names)
+    wh, sb, fp = warehouse, stripe_bytes, fingerprint
+
+    def encode_parts(batches):
+        import itertools
+
+        _pin_arrow_threads()
+        p = EncodePlan.from_json(plan_json)
+        out_schema = pa.schema([("bucket", pa.int64()), ("rows", pa.int64()),
+                                ("bytes_in", pa.int64()),
+                                ("bytes_out", pa.int64()),
+                                ("wall_s", pa.float64())])
+
+        def runs():
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                vals = np.asarray(b.column("__bucket"))
+                cut = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+                bounds = [0, *cut.tolist(), len(vals)]
+                data = b.select(cols)
+                for lo, hi in zip(bounds[:-1], bounds[1:]):
+                    yield int(vals[lo]), data.slice(lo, hi - lo)
+
+        for bucket, grp in itertools.groupby(runs(), key=lambda t: t[0]):
+            stripes = _stripe_iter_batches((s for _, s in grp), sb)
+            m = _encode_bucket_core(bucket, stripes, wh, p, sb, fp)
+            yield pa.RecordBatch.from_pydict(
+                {"bucket": [bucket], "rows": [m["rows"]],
+                 "bytes_in": [m["bytes_in"]], "bytes_out": [m["bytes_out"]],
+                 "wall_s": [m["wall_s"]]}, schema=out_schema)
+
+    shuffled = (bucketed.repartition(n_buckets, F.col("__bucket"))
+                .sortWithinPartitions("__bucket", *order))
+    stats_df = shuffled.mapInArrow(
+        encode_parts,
+        "bucket bigint, rows bigint, bytes_in bigint, bytes_out bigint, "
+        "wall_s double")
+    agg = stats_df.agg(F.count("bucket").alias("n"),
+                       F.sum("rows").alias("rows"),
+                       F.sum("bytes_in").alias("bi"),
+                       F.sum("bytes_out").alias("bo"),
+                       F.sum("wall_s").alias("w")).collect()[0]
+    encoded_stats = (int(agg["n"] or 0), int(agg["rows"] or 0),
+                     int(agg["bi"] or 0), int(agg["bo"] or 0),
+                     float(agg["w"] or 0.0))
+    totals = tuple(x + y for x, y in zip(encoded_stats, resumed_stats))
+    manifest = {
+        "plan": json.loads(plan_json),
+        "plan_hash": plan.plan_hash(),
+        "schema_ddl": schema_ddl,
+        "n_buckets": n_buckets,
+        "stripe_bytes": stripe_bytes,
+        "fused": True,
+        "buckets_encoded_this_run": encoded_stats[0],
+        "buckets_resumed": len(done),
+        "rows": totals[1],
+        "bytes_in": totals[2],
+        "bytes_out": totals[3],
+        # single phase: the shuffle is not separable from the encode
+        "stage_sec": 0.0,
+        "encode_sec": round(time.time() - t0, 3),
+        "task_wall_sec": round(encoded_stats[4], 3),
+        "fingerprint": fingerprint,
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
 # --------------------------------------------------------------------------
 # decode
 # --------------------------------------------------------------------------
@@ -548,8 +746,11 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
     unknown = [c for c in cols if c not in all_cols]
     if unknown:
         raise KeyError(f"columns not in plan: {unknown}")
-    full_ddl = manifest["schema_ddl"].replace("struct<", "").rstrip(">")
-    full_schema = _parse_datatype_string(full_ddl)
+    # pass the struct<...> form straight through: string-munging it corrupts
+    # any schema whose LAST field is a nested type — replace() also strips
+    # nested 'struct<' and rstrip('>') eats array<...>'s closing brackets
+    # (the submit_job ADVICE bug, present here too)
+    full_schema = _parse_datatype_string(manifest["schema_ddl"])
     keep_fields = [f for f in full_schema.fields if f.name in cols]
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                            for f in keep_fields)

@@ -502,3 +502,102 @@ def test_engine_end_to_end_array_column(spark, tmp_path):
     for k in want:
         assert got[k][1] == want[k][1]
         assert got[k][0] == want[k][0]          # float32 bit-exact
+
+
+def test_fused_matches_staged_byte_identical(spark, corpus_df, tmp_path):
+    """The fused (in-shuffle mapInArrow) and staged (parquet re-read) paths
+    must publish byte-identical bucket files: stripe cuts are batching-
+    independent and both sort by (__bucket, stage_order).  This is the
+    equivalence that lets a mixed fleet (or a staged→fused migration)
+    resume against either's markers."""
+    plan = corpus_plan()
+    w1, w2 = str(tmp_path / "staged"), str(tmp_path / "fused")
+    m1 = engine.encode_table(spark, corpus_df, plan, w1, n_buckets=5,
+                             input_token="tf")
+    m2 = engine.encode_table(spark, corpus_df, plan, w2, n_buckets=5,
+                             input_token="tf", fused=True)
+    assert m2["rows"] == m1["rows"] == N_FILES
+    assert m2["bytes_in"] == m1["bytes_in"]
+    assert m2["bytes_out"] == m1["bytes_out"]
+    files1 = sorted(glob.glob(os.path.join(w1, "blocks", "bucket=*",
+                                           "part-0.parquet")))
+    assert files1
+    for p1 in files1:
+        p2 = p1.replace(w1, w2)
+        with open(p1, "rb") as f1, open(p2, "rb") as f2:
+            assert f1.read() == f2.read(), f"bucket differs: {p1}"
+    summary = engine.verify_roundtrip(spark, corpus_df, plan, w2)
+    assert summary["ok"] and summary["rows_decoded"] == N_FILES
+
+
+def test_fused_resume_skips_completed(spark, corpus_df, tmp_path):
+    """Fused-path resume: completed buckets are anti-joined out BEFORE the
+    shuffle; their published files stay untouched, lost buckets re-encode,
+    and the manifest folds both."""
+    import shutil
+
+    plan = corpus_plan()
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, corpus_df, plan, wh, n_buckets=5,
+                        input_token="tfr", fused=True)
+    before = {p: os.path.getmtime(p) for p in
+              glob.glob(os.path.join(wh, "blocks", "bucket=*",
+                                     "part-0.parquet"))}
+    markers = sorted(glob.glob(os.path.join(wh, "markers", "bucket_*.json")))
+    lost = [json.load(open(p))["bucket"] for p in markers[:2]]
+    for p, b in zip(markers[:2], lost):
+        os.remove(p)
+        shutil.rmtree(os.path.join(wh, "blocks", f"bucket={b}"),
+                      ignore_errors=True)
+    m = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=5,
+                            mode="resume", input_token="tfr", fused=True)
+    assert m["buckets_resumed"] == len(markers) - 2
+    assert m["buckets_encoded_this_run"] == 2
+    assert m["rows"] == N_FILES
+    for p, mt in before.items():
+        b = int(p.split("bucket=")[1].split("/")[0])
+        if b not in lost:
+            assert os.path.getmtime(p) == mt, f"bucket {b} was re-encoded"
+    summary = engine.verify_roundtrip(spark, corpus_df, plan, wh)
+    assert summary["ok"] and summary["rows_decoded"] == N_FILES
+
+
+def test_fused_resume_invalidates_stale_fingerprint(spark, corpus_df,
+                                                    tmp_path):
+    """A fused resume against markers from a DIFFERENT fingerprint (here: a
+    different bucket count) must discard every stale marker/block and
+    re-encode the full input — never mix two layouts in one warehouse."""
+    plan = corpus_plan()
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, corpus_df, plan, wh, n_buckets=7,
+                        input_token="tsf", fused=True)
+    os.remove(os.path.join(wh, "manifest.json"))
+    m = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=3,
+                            mode="resume", input_token="tsf", fused=True)
+    assert m["buckets_resumed"] == 0
+    assert m["rows"] == N_FILES
+    stale = [p for p in glob.glob(os.path.join(wh, "blocks", "bucket=*"))
+             if int(p.split("bucket=")[-1]) >= 3]
+    assert stale == []
+    summary = engine.verify_roundtrip(spark, corpus_df, plan, wh)
+    assert summary["ok"] and summary["rows_decoded"] == N_FILES
+
+
+def test_decode_schema_nested_type_last(spark, tmp_path):
+    """Regression: decode_table used to string-munge the manifest's
+    struct<...> DDL, which corrupted any schema whose LAST field is a
+    nested type (array<float>'s closing '>' was rstrip'ed away)."""
+    from colonnade_spark.plan import plan
+
+    src = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", "label", "embedding"))   # array column LAST
+    p = (plan().headed("vec_id").headed("label").headed("embedding")
+         .with_keys("vec_id"))
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, src, p, wh, n_buckets=2,
+                        stripe_bytes=1 << 20, input_token="emb-last",
+                        fused=True)
+    got = {r["vec_id"]: r["embedding"]
+           for r in engine.decode_table(spark, wh).collect()}
+    want = {r["vec_id"]: r["embedding"] for r in src.collect()}
+    assert got == want
