@@ -69,6 +69,54 @@ int64_t greedy_scan(const uint8_t *pad,
     return k;
 }
 
+/* greedy_scan fused with stream emission: write the final code stream
+   (code byte, plus the literal byte after each escape) during the scan and
+   record the stream offset at every segment start, so python skips the
+   units/codes materialization and the two scatter passes entirely.
+   Matching rules identical to greedy_scan (byte-identical stream). */
+int64_t encode_scan(const uint8_t *pad,
+                 const int64_t *seg_s, const int64_t *seg_e, int64_t n_segs,
+                 const uint8_t *t1, const uint8_t *t2,
+                 const uint64_t *hkey, const uint64_t *hmask,
+                 const int32_t *hlen, const uint8_t *hcode,
+                 uint8_t *stream_out, int64_t *seg_out)
+{
+    int64_t o = 0;
+    for (int64_t s = 0; s < n_segs; s++) {
+        seg_out[s] = o;
+        int64_t p = seg_s[s];
+        const int64_t end = seg_e[s];
+        while (p < end) {
+            uint64_t key8;
+            memcpy(&key8, pad + p, 8);          /* little-endian hosts */
+            const int64_t rem = end - p;
+            uint32_t h = ((uint32_t)(key8 & 0xFFFFFFu) * 2654435761u) >> 20;
+            const int32_t hl = hlen[h];
+            int64_t len;
+            uint8_t c;
+            if (hl > 0 && (key8 & hmask[h]) == hkey[h] && hl <= rem) {
+                len = hl;
+                c = hcode[h];
+            } else {
+                const uint8_t c2 = t2[key8 & 0xFFFFu];
+                if (c2 != 255 && rem >= 2) {
+                    len = 2;
+                    c = c2;
+                } else {
+                    len = 1;
+                    c = t1[key8 & 0xFFu];
+                }
+            }
+            stream_out[o++] = c;
+            if (c == 255 && len == 1)           /* escape: literal follows */
+                stream_out[o++] = pad[p];
+            p += len;
+        }
+    }
+    seg_out[n_segs] = o;
+    return o;
+}
+
 int64_t decode_stream(const uint8_t *stream, int64_t stream_len,
                       const int64_t *counts, int64_t n_strings,
                       const uint8_t *sym_flat, const int64_t *sym_off,
@@ -127,6 +175,13 @@ def _build() -> "ctypes.CDLL | None":
         p(ctypes.c_int32), p(ctypes.c_uint8),
         p(i64), p(ctypes.c_uint8)]
     dll.greedy_scan.restype = i64
+    dll.encode_scan.argtypes = [
+        p(ctypes.c_uint8), p(i64), p(i64), i64,
+        p(ctypes.c_uint8), p(ctypes.c_uint8),
+        p(ctypes.c_uint64), p(ctypes.c_uint64),
+        p(ctypes.c_int32), p(ctypes.c_uint8),
+        p(ctypes.c_uint8), p(i64)]
+    dll.encode_scan.restype = i64
     dll.decode_stream.argtypes = [
         p(ctypes.c_uint8), i64, p(i64), i64,
         p(ctypes.c_uint8), p(i64), p(i64),
@@ -166,6 +221,28 @@ def greedy_scan(pad, seg_s, seg_e, t1, t2, hkey, hmask, hlen, hcode,
         ptr(hkey, ctypes.c_uint64), ptr(hmask, ctypes.c_uint64),
         ptr(hlen, ctypes.c_int32), ptr(hcode, ctypes.c_uint8),
         ptr(units_out, ctypes.c_int64), ptr(codes_out, ctypes.c_uint8)))
+
+
+def encode_scan(pad, seg_s, seg_e, t1, t2, hkey, hmask, hlen, hcode,
+                stream_out, seg_out):
+    """Run the fused C scan+emit into preallocated buffers; returns the
+    stream length, or None when the kernel is unavailable (numpy path)."""
+    dll = get_lib()
+    if dll is None:
+        return None
+    cp = ctypes.POINTER
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(cp(ct))
+
+    return int(dll.encode_scan(
+        ptr(pad, ctypes.c_uint8),
+        ptr(seg_s, ctypes.c_int64), ptr(seg_e, ctypes.c_int64),
+        ctypes.c_int64(len(seg_s)),
+        ptr(t1, ctypes.c_uint8), ptr(t2, ctypes.c_uint8),
+        ptr(hkey, ctypes.c_uint64), ptr(hmask, ctypes.c_uint64),
+        ptr(hlen, ctypes.c_int32), ptr(hcode, ctypes.c_uint8),
+        ptr(stream_out, ctypes.c_uint8), ptr(seg_out, ctypes.c_int64)))
 
 
 def decode_stream(stream, counts, sym_flat, sym_off, sym_len,

@@ -46,6 +46,9 @@ BUILD_ITERS = 5
 #: amortize ~15 numpy kernel dispatches per wave, small enough that the
 #: active byte range (~target x SEG ≈ 2 MiB) stays cache-resident.
 _WAVE_TARGET = 4096
+# chunks below this size get a cheap 2-iteration table build (FsstCodec._table
+# drift-rebuild economics); bigger chunks amortize the full BUILD_ITERS build
+_FULL_BUILD_MIN_BYTES = 1 << 18
 
 
 _M64 = (1 << 64) - 1
@@ -239,7 +242,36 @@ def _greedy_encode(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
 
 def _encode_stream(data: np.ndarray, offsets: np.ndarray, table: SymbolTable
                    ) -> tuple[np.ndarray, np.ndarray]:
-    """Encode concatenated strings → (stream uint8, per-string out byte counts)."""
+    """Encode concatenated strings → (stream uint8, per-string out byte counts).
+
+    C fast path (codecs/_native.py encode_scan): the scan EMITS the final
+    stream during matching and records the stream offset at every segment
+    start, so the units/codes arrays (9 bytes per input byte) and the two
+    scatter passes below never materialize — per-string counts fall out of
+    one searchsorted of the string offsets into the segment starts (every
+    non-empty string start is a segment start).  Byte-identical to the
+    numpy path (same matching rules; CRC-asserted in tests)."""
+    from . import _native
+
+    n = int(data.size)
+    if n and _native.get_lib() is not None:
+        assert _HASH_BITS == 12
+        seg_s, seg_e = _segment_bounds(offsets, _seg_for(n))
+        n_pad = ((n + MAX_LEN + 15) // 8) * 8
+        pad = np.zeros(n_pad, dtype=np.uint8)
+        pad[:n] = data
+        stream_buf = np.empty(2 * n, dtype=np.uint8)   # all-escape worst case
+        seg_out = np.empty(len(seg_s) + 1, dtype=np.int64)
+        total = _native.encode_scan(pad, np.ascontiguousarray(seg_s),
+                                    np.ascontiguousarray(seg_e),
+                                    table._t1, table._t2,
+                                    table._c_hkey, table._c_hmask,
+                                    table._c_hlen, table._c_hcode,
+                                    stream_buf, seg_out)
+        if total is not None:
+            ks = np.searchsorted(seg_s, offsets)
+            counts = seg_out[ks[1:]] - seg_out[ks[:-1]]
+            return stream_buf[:total], counts
     units, codes = _greedy_encode(data, offsets, table)
     esc = codes == ESCAPE
     out_len = np.where(esc, 2, 1).astype(np.int64)
@@ -373,14 +405,15 @@ def stratified_sample(data: np.ndarray, offsets: np.ndarray,
     return out, new_off
 
 
-def build_symbol_table(data: np.ndarray, offsets: np.ndarray) -> SymbolTable:
+def build_symbol_table(data: np.ndarray, offsets: np.ndarray,
+                       iters: int = BUILD_ITERS) -> SymbolTable:
     """Bottom-up table construction on a stratified sample of the chunk."""
     data, offsets = stratified_sample(data, offsets)
     table = SymbolTable([]).finalize()
     # must match the seg _greedy_encode picks for this (sampled) data size,
     # or the adjacent-unit pairing below would cross segment boundaries
     seg_s, _seg_e = _segment_bounds(offsets, _seg_for(data.size))
-    for _ in range(BUILD_ITERS):
+    for _ in range(iters):
         units, codes = _greedy_encode(data, offsets, table)
         if units.size == 0:
             break
@@ -461,7 +494,17 @@ class FsstCodec(Codec):
             if r <= ctx.extras.get("fsst_probe_ratio", 1.0) * 1.25 + 0.02:
                 ctx.extras["fsst_chunk"] = (chunk_key, ctx.fsst_table)
                 return ctx.fsst_table
-        ctx.fsst_table = build_symbol_table(col.data, col.offsets)
+        # drift-rebuild economics: the candidate machinery costs ~4 ms per
+        # build ITERATION.  A sorted small column (path/commit) drifts on
+        # EVERY stripe — its per-stripe chunk is tiny (the stripe cap is on
+        # total row bytes), so a full 5-iteration build costs more than
+        # encoding the chunk.  Small chunks take a 2-iteration build (~2/3
+        # of the 5-iteration ratio win at ~1/3 the cost); big chunks (a
+        # content stripe crossing a language boundary) amortize the full
+        # build.  Pure function of chunk size → deterministic.
+        iters = BUILD_ITERS if total >= _FULL_BUILD_MIN_BYTES else 2
+        ctx.fsst_table = build_symbol_table(col.data, col.offsets,
+                                            iters=iters)
         ctx.extras["fsst_probe_ratio"] = ratio_of(ctx.fsst_table)
         sample, soff = stratified_sample(col.data, col.offsets)
         if soff[-1] == 0:

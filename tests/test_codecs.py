@@ -503,3 +503,40 @@ def test_fsst_native_decode_matches_numpy():
         _native.get_lib = real
     assert np.array_equal(d1, d2) and np.array_equal(o1, o2)
     assert np.array_equal(d1, col.data) and np.array_equal(o1, col.offsets)
+
+
+def test_fsst_native_encode_stream_matches_numpy():
+    """C encode_scan (fused scan + stream emission) vs the numpy
+    units/scatter path: identical stream bytes and per-string counts on
+    escape-heavy text, empty strings, and multi-segment (>SEG-byte)
+    strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from colonnade_spark.codecs import _native, fsst
+    from colonnade_spark.codecs.base import from_arrow
+
+    if _native.get_lib() is None:
+        import pytest
+        pytest.skip("no C toolchain: only the numpy path exists")
+
+    rng = np.random.default_rng(99)
+    vals = ["".join(chr(c) for c in rng.integers(32, 800,
+                                                 size=rng.integers(0, 300)))
+            + ("for i in range(n):\n    total += i\n" * (i % 7))
+            for i in range(300)]
+    vals += ["", "\xff" * 33, "x" * 5000, "short"]   # x*5000 spans segments
+    col, _ = from_arrow(pa.array(vals))
+    table = fsst.build_symbol_table(col.data, col.offsets)
+
+    s1, c1 = fsst._encode_stream(col.data, col.offsets, table)
+    real = _native.get_lib
+    try:
+        _native.get_lib = lambda: None                   # force numpy path
+        s2, c2 = fsst._encode_stream(col.data, col.offsets, table)
+    finally:
+        _native.get_lib = real
+    assert np.array_equal(s1, s2)
+    assert np.array_equal(c1, c2)
+    d, o = fsst._decode_stream(s1, c1, table)
+    assert np.array_equal(d, col.data) and np.array_equal(o, col.offsets)
