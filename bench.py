@@ -99,10 +99,13 @@ def encode_worker(cores: int, corpus_dir: str, out_json: str,
         # BENCH_FUSED=1 measures the fused single-pass path (byte-identical
         # blocks; the right default when the staged write would round-trip
         # shared storage, i.e. real clusters with S3/HDFS warehouses).
+        # salt sizing from a seeded 5% sample: skew stats don't need a full
+        # corpus scan (engine.assign_buckets docstring)
         manifest = engine.encode_table(
             spark, df, corpus_plan(), wh, n_buckets=n_buckets,
             stripe_bytes=4 << 20, mode="overwrite", input_token=f"bench{N_FILES}",
-            fused=os.environ.get("BENCH_FUSED") == "1")
+            fused=os.environ.get("BENCH_FUSED") == "1",
+            salt_sample_fraction=0.05)
         attempt_wall = time.time() - t0
         walls.append(round(attempt_wall, 3))
         if wall is None or attempt_wall < wall:

@@ -11,6 +11,7 @@ from .base import (KIND_BOOL, KIND_FLOAT, KIND_INT, KIND_STR, Codec,
 from .alphapack import AlphaPackCodec
 from .delta import DeltaCodec
 from .dictionary import DictCodec
+from .fcode import FrontCodeCodec
 from .floatbss import FloatBssCodec
 from .forbp import ForBitpackCodec
 from .fsst import FsstCodec
@@ -18,7 +19,8 @@ from .plain import PlainCodec
 from .rle import RleCodec
 
 _ALL = [PlainCodec(), DictCodec(), RleCodec(), ForBitpackCodec(),
-        DeltaCodec(), FsstCodec(), FloatBssCodec(), AlphaPackCodec()]
+        DeltaCodec(), FsstCodec(), FloatBssCodec(), AlphaPackCodec(),
+        FrontCodeCodec()]
 
 BY_NAME: dict[str, Codec] = {c.name: c for c in _ALL}
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in _ALL}

@@ -117,6 +117,27 @@ int64_t encode_scan(const uint8_t *pad,
     return o;
 }
 
+/* front-coding decode: string i = previous string's first plen[i] bytes +
+   the next slen[i] suffix bytes.  Sequential by definition — this loop is
+   pure memcpy.  Caller sizes out = sum(plen) + sum(slen). */
+int64_t fcode_decode(const uint8_t *suffix, const int64_t *plen,
+                     const int64_t *slen, int64_t n, uint8_t *out)
+{
+    int64_t o = 0, si = 0, prev = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t start = o;
+        int64_t pl = plen[i];
+        if (pl > o - prev) pl = o - prev;   /* crc guards; no OOB read */
+        memcpy(out + o, out + prev, (size_t)pl);
+        o += pl;
+        memcpy(out + o, suffix + si, (size_t)slen[i]);
+        o += slen[i];
+        si += slen[i];
+        prev = start;
+    }
+    return o;
+}
+
 int64_t decode_stream(const uint8_t *stream, int64_t stream_len,
                       const int64_t *counts, int64_t n_strings,
                       const uint8_t *sym_flat, const int64_t *sym_off,
@@ -182,6 +203,9 @@ def _build() -> "ctypes.CDLL | None":
         p(ctypes.c_int32), p(ctypes.c_uint8),
         p(ctypes.c_uint8), p(i64)]
     dll.encode_scan.restype = i64
+    dll.fcode_decode.argtypes = [
+        p(ctypes.c_uint8), p(i64), p(i64), i64, p(ctypes.c_uint8)]
+    dll.fcode_decode.restype = i64
     dll.decode_stream.argtypes = [
         p(ctypes.c_uint8), i64, p(i64), i64,
         p(ctypes.c_uint8), p(i64), p(i64),
@@ -243,6 +267,23 @@ def encode_scan(pad, seg_s, seg_e, t1, t2, hkey, hmask, hlen, hcode,
         ptr(hkey, ctypes.c_uint64), ptr(hmask, ctypes.c_uint64),
         ptr(hlen, ctypes.c_int32), ptr(hcode, ctypes.c_uint8),
         ptr(stream_out, ctypes.c_uint8), ptr(seg_out, ctypes.c_int64)))
+
+
+def fcode_decode(suffix, plens, slens, out_buf):
+    """Run the C front-coding decode; returns output bytes written, or
+    None when the kernel is unavailable (python fallback)."""
+    dll = get_lib()
+    if dll is None:
+        return None
+    cp = ctypes.POINTER
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(cp(ct))
+
+    return int(dll.fcode_decode(
+        ptr(suffix, ctypes.c_uint8),
+        ptr(plens, ctypes.c_int64), ptr(slens, ctypes.c_int64),
+        ctypes.c_int64(len(plens)), ptr(out_buf, ctypes.c_uint8)))
 
 
 def decode_stream(stream, counts, sym_flat, sym_off, sym_len,

@@ -1,0 +1,159 @@
+"""Front coding (incremental prefix encoding) for SORTED string columns.
+
+Each string stores only (shared-prefix length with the previous string,
+suffix bytes).  The engine's staging sorts every bucket by
+(cluster_cols, key_cols) — plan.stage_order — so key-ish columns (path,
+url, repo) arrive at the codec layer in sorted runs with massive shared
+prefixes; front coding stores those prefixes once.  This is the classic
+dictionary-page trick of every columnar store (Parquet's DELTA_BYTE_ARRAY,
+ORC's string dictionary sort) re-expressed as a standalone lightweight
+codec under the north rule's codec-library umbrella.
+
+Layout: [pw, sw] + bitpacked prefix lens (pw bits) + bitpacked suffix lens
+(sw bits) + concatenated suffix bytes.
+
+Encode is fully vectorized: the shared-prefix lengths advance over a
+shrinking active set (two gathers per matched byte position — total work
+is proportional to the shared-prefix bytes, not n x max_len), and the
+suffix gather is the standard repeat/cumsum variable-length gather.
+Decode is inherently sequential (string i needs string i-1) — the optional
+C kernel (codecs/_native.py fcode_decode) does it at memcpy speed; the
+numpy-free python fallback loops over bytes objects (correct, slower,
+rarely used).
+
+Reference parity: the reference renders cells from shared mutable
+builders reused across rows (Colonnade/Encode.hs:560-566 "build once,
+fold many times"); front coding is that reuse made explicit in the wire
+format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import KIND_STR, Codec, ColumnData, ColumnStats, EncodeContext
+from .bitpack_util import pack_uints, unpack_uints, width_for
+
+#: cap on stored prefix length — bounds the vectorized advance loop; a
+#: longer true prefix simply leaves bytes in the suffix (still correct)
+_MAX_PREFIX = 1024
+#: contiguous sample runs for estimate(): adjacency is the signal, so the
+#: sample must be consecutive strings, not a stratified scatter
+_SAMPLE_RUN = 128
+
+
+def _prefix_lens(data: np.ndarray, offsets: np.ndarray,
+                 cap: int = _MAX_PREFIX) -> np.ndarray:
+    """Shared-prefix length of string i with string i-1 (plens[0] = 0)."""
+    n = len(offsets) - 1
+    plens = np.zeros(n, dtype=np.int64)
+    if n < 2:
+        return plens
+    lens = np.diff(offsets)
+    maxp = np.minimum(np.minimum(lens[1:], lens[:-1]),
+                      cap)           # per-row bound
+    cur = np.flatnonzero(maxp > 0) + 1          # candidate row indices (>=1)
+    k = 0
+    starts = offsets[:-1]
+    while cur.size:
+        m = data[starts[cur] + k] == data[starts[cur - 1] + k]
+        cur = cur[m]
+        plens[cur] += 1
+        k += 1
+        cur = cur[maxp[cur - 1] > k]
+    return plens
+
+
+def _suffix_gather(data: np.ndarray, offsets: np.ndarray,
+                   plens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated suffix bytes + suffix lengths."""
+    lens = np.diff(offsets)
+    slens = lens - plens
+    s_off = np.concatenate(([0], np.cumsum(slens)))
+    total = int(s_off[-1])
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8), slens
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(s_off[:-1], slens)
+           + np.repeat(offsets[:-1] + plens, slens))
+    return data[pos], slens
+
+
+class FrontCodeCodec(Codec):
+    name = "fcode"
+    codec_id = 8
+
+    def applicable(self, col: ColumnData, stats: ColumnStats) -> bool:
+        # capability only; estimate() prices unsorted/tiny columns out
+        return col.kind == KIND_STR and col.n > 1
+
+    def estimate(self, col: ColumnData, stats: ColumnStats,
+                 ctx: EncodeContext) -> int:
+        if stats.total_bytes < 256 or col.n < 8:
+            return stats.total_bytes + (1 << 20)       # header amortization
+        # saved fraction from up to 3 CONTIGUOUS runs (start/middle/end):
+        # front coding's win is adjacency, which a stratified sample destroys
+        n = col.n
+        run = min(_SAMPLE_RUN, n)
+        firsts = sorted({0, max((n - run) // 2, 0), max(n - run, 0)})
+        saved = sampled = 0
+        for f in firsts:
+            off = col.offsets[f: f + run + 1]
+            seg = col.data[int(off[0]): int(off[-1])]
+            p = _prefix_lens(seg, (off - off[0]).astype(np.int64), cap=256)
+            saved += int(p.sum())
+            sampled += int(off[-1] - off[0])
+        frac = saved / max(sampled, 1)
+        pw = width_for(min(stats.max_len, _MAX_PREFIX))
+        sw = width_for(stats.max_len)
+        return (2 + int((1.0 - frac) * stats.total_bytes)
+                + (n * (pw + sw) + 7) // 8)
+
+    def encode(self, col: ColumnData, stats: ColumnStats,
+               ctx: EncodeContext) -> tuple[dict, bytes]:
+        plens = _prefix_lens(col.data, col.offsets)
+        suffix, slens = _suffix_gather(col.data, col.offsets, plens)
+        pw = width_for(int(plens.max())) if col.n else 0
+        sw = width_for(int(slens.max())) if col.n else 0
+        parts = [bytes([pw, sw]),
+                 pack_uints(plens.astype(np.uint64), pw),
+                 pack_uints(slens.astype(np.uint64), sw),
+                 suffix.tobytes()]
+        return {}, b"".join(parts)
+
+    def decode(self, payload: memoryview, params: dict, n: int, kind: str,
+               arrow_type: str) -> ColumnData:
+        from . import _native
+
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        pw, sw = int(buf[0]), int(buf[1])
+        p = 2
+        pb = (n * pw + 7) // 8
+        plens = unpack_uints(buf[p: p + pb], n, pw).astype(np.int64)
+        p += pb
+        sb = (n * sw + 7) // 8
+        slens = unpack_uints(buf[p: p + sb], n, sw).astype(np.int64)
+        p += sb
+        suffix = np.ascontiguousarray(buf[p:])
+        total = int(plens.sum() + slens.sum())
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(plens + slens, out=offsets[1:])
+        out = np.empty(total, dtype=np.uint8)
+        done = _native.fcode_decode(suffix, np.ascontiguousarray(plens),
+                                    np.ascontiguousarray(slens), out)
+        if done is None:
+            # python fallback: sequential by definition; bytes slicing
+            # keeps the per-row work in C even here
+            s_off = np.concatenate(([0], np.cumsum(slens)))
+            sbytes = suffix.tobytes()
+            prev = b""
+            chunks = []
+            for i in range(n):
+                s = prev[: int(plens[i])] \
+                    + sbytes[int(s_off[i]): int(s_off[i + 1])]
+                chunks.append(s)
+                prev = s
+            joined = b"".join(chunks)
+            out = np.frombuffer(joined, dtype=np.uint8).copy() if joined \
+                else np.zeros(0, dtype=np.uint8)
+        return ColumnData(kind, n, arrow_type, data=out, offsets=offsets)

@@ -4,7 +4,7 @@ Pipeline (SURVEY.md §3.2-3.3 generalized to Spark):
 
 encode:  plan.project(df)  → salt/bucket assignment (skew pre-pass)
          → two interchangeable execution paths (byte-identical blocks):
-           FUSED (default for bench; encode_table(fused=True)): one pass —
+           FUSED (encode_table(fused=True)): one pass —
              repartition(n_buckets, bucket) + sortWithinPartitions(bucket,
              keys) + mapInArrow per-bucket encode inside the shuffle task;
              the corpus is materialized once (shuffle files), not twice.
@@ -107,7 +107,8 @@ LINEAGE_SCHEMA = pa.schema([
 # --------------------------------------------------------------------------
 
 def assign_buckets(df, plan: EncodePlan, n_buckets: int,
-                   target_salt_bytes: int = 16 << 20):
+                   target_salt_bytes: int = 16 << 20,
+                   salt_sample_fraction: float = 1.0):
     """Add a ``__bucket`` column.
 
     With a partition column (e.g. ``repo``): a cheap aggregation measures
@@ -115,6 +116,18 @@ def assign_buckets(df, plan: EncodePlan, n_buckets: int,
     fan-out proportional to their size, so one giant repo spreads over many
     buckets while small repos stay co-located (dictionary/FSST tables like
     locality).  The salt map is tiny → broadcast join.
+
+    ``salt_sample_fraction < 1`` sizes repos from a SEEDED row sample
+    (estimated bytes = sample bytes / fraction): the sizing pass otherwise
+    re-scans every content byte just to find the few giant values, a whole
+    extra pass over the corpus (at 100 TB, the skew statistics job must
+    sample — this is what AQE's runtime skew stats do too).  The seed is
+    fixed, so the salt map — and with it the bucket layout, the staging
+    fingerprint, and resume — stays deterministic for the same input.
+    Giant values are exactly the ones a uniform sample cannot miss (they
+    hold many rows / most bytes); a value whose size is underestimated
+    still lands within ~1/fraction of its true salt fan-out, which LPT
+    scheduling and the stripe cap absorb.
     """
     from pyspark.sql import functions as F
 
@@ -129,7 +142,10 @@ def assign_buckets(df, plan: EncodePlan, n_buckets: int,
         else F.xxhash64(*[F.col(c) for c in df.columns])
     if not pcol:
         return df.withColumn("__bucket", F.pmod(key_hash, F.lit(n_buckets)).cast("int"))
-    sizes = (df.groupBy(pcol).agg(F.sum(weight).alias("__bytes"))
+    src = df if salt_sample_fraction >= 1.0 \
+        else df.sample(fraction=salt_sample_fraction, seed=42)
+    scale = 1.0 / min(max(salt_sample_fraction, 1e-9), 1.0)
+    sizes = (src.groupBy(pcol).agg((F.sum(weight) * F.lit(scale)).alias("__bytes"))
              .withColumn("__salt_k",
                          F.greatest(F.lit(1),
                                     F.ceil(F.col("__bytes") / target_salt_bytes))
@@ -386,7 +402,8 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
                  n_buckets: int = 32, stripe_bytes: int = 4 << 20,
                  target_salt_bytes: int = 64 << 20,
                  mode: str = "error", input_token: str = "",
-                 fused: bool = False) -> dict:
+                 fused: bool = False,
+                 salt_sample_fraction: float = 1.0) -> dict:
     """Run the encode job; returns the manifest dict.
 
     mode: "error" (refuse existing warehouse), "overwrite", or "resume"
@@ -429,7 +446,8 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
                              n_buckets=n_buckets, stripe_bytes=stripe_bytes,
                              target_salt_bytes=target_salt_bytes, mode=mode,
                              fingerprint=fingerprint, schema_ddl=schema_ddl,
-                             manifest_path=manifest_path)
+                             manifest_path=manifest_path,
+                             salt_sample_fraction=salt_sample_fraction)
 
     t_stage0 = time.time()
     need_stage = True
@@ -441,7 +459,8 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
         # staged data; invalidate them so resume cannot trust stale state
         for sub in ("markers", "blocks", "lineage"):
             shutil.rmtree(os.path.join(warehouse, sub), ignore_errors=True)
-        bucketed = assign_buckets(projected, plan, n_buckets, target_salt_bytes)
+        bucketed = assign_buckets(projected, plan, n_buckets, target_salt_bytes,
+                                  salt_sample_fraction)
         order = plan.stage_order or plan.column_names
         # zstd staged files: ~45% smaller than snappy on text and ~1.5x
         # faster wall for the staging write on this disk; decompression in
@@ -561,7 +580,8 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
 def _encode_fused(spark, projected, plan: EncodePlan, warehouse: str, *,
                   n_buckets: int, stripe_bytes: int, target_salt_bytes: int,
                   mode: str, fingerprint: str, schema_ddl: str,
-                  manifest_path: str) -> dict:
+                  manifest_path: str,
+                  salt_sample_fraction: float = 1.0) -> dict:
     """Single-pass encode: shuffle by bucket and encode inside the shuffle
     task via ``mapInArrow`` (see :func:`encode_table` ``fused=True``).
 
@@ -613,7 +633,8 @@ def _encode_fused(spark, projected, plan: EncodePlan, warehouse: str, *,
             if int(os.path.basename(p)[len("bucket_"):-len(".parquet")]) not in done:
                 os.remove(p)
 
-    bucketed = assign_buckets(projected, plan, n_buckets, target_salt_bytes)
+    bucketed = assign_buckets(projected, plan, n_buckets, target_salt_bytes,
+                              salt_sample_fraction)
     if done:
         # completed buckets never enter the shuffle: anti-join against the
         # (tiny, broadcast) done set — the fused-path resume skip

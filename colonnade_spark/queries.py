@@ -81,6 +81,44 @@ def q_rt_alpha_hex(spark, sf_dir):
     return df.mapInArrow(rt, df.schema)
 
 
+def q_rt_fcode_sorted(spark, sf_dir):
+    """Round-trip a sorted path-like key column through the front-coding
+    codec (fcode: per-string shared-prefix length + suffix — the
+    DELTA_BYTE_ARRAY / ORC-dictionary-sort trick as a standalone codec).
+    The column is sorted within the single partition first, the layout the
+    engine's staging produces for cluster/key columns."""
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    df = (_read(spark, sf_dir, "documents")
+          .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                  F.concat_ws("/", "source", "lang",
+                              F.format_string("doc_%06d", "doc_id"))
+                  .alias("pathlike"))
+          .repartition(1)
+          .sortWithinPartitions("pathlike"))
+
+    def rt(batches):
+        import pyarrow as pa
+
+        from colonnade_spark import blocks as B
+        for batch in batches:
+            codecs = {"pathlike": "fcode", "doc_id": "auto"}
+            arrs = [B.decode_block(B.encode_block(batch.column(i),
+                                                  codec=codecs[nm]))
+                    for i, nm in enumerate(batch.schema.names)]
+            yield pa.RecordBatch.from_arrays(arrs, names=batch.schema.names)
+
+    return df.mapInArrow(rt, df.schema)
+
+
+SQL_RT_FCODE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       concat_ws('/', source, lang, printf('doc_%06d', doc_id)) AS pathlike
+FROM documents
+"""
+
+
 def q_rt_giant_cell(spark, sf_dir):
     """Round-trip cells through the multi-block-cell path (a cell larger
     than the block cap splits across fragment blocks — the reference's
@@ -2118,6 +2156,8 @@ def _raw_registry() -> dict:
         # small-alphabet pack on a derived hex (hash) column
         "rt_alpha_hex": (q_rt_alpha_hex,
                          "SELECT doc_id, md5(text) AS h FROM documents"),
+        # front coding on a sorted path-like key column
+        "rt_fcode_sorted": (q_rt_fcode_sorted, SQL_RT_FCODE),
         # multi-block cells: every cell > the fragment cap round-trips
         # through encode_cell_fragments/decode_cell_fragments
         "rt_giant_cell": (q_rt_giant_cell, SQL_GIANT_CELL),

@@ -540,3 +540,68 @@ def test_fsst_native_encode_stream_matches_numpy():
     assert np.array_equal(c1, c2)
     d, o = fsst._decode_stream(s1, c1, table)
     assert np.array_equal(d, col.data) and np.array_equal(o, col.offsets)
+
+
+def test_fcode_roundtrip_and_fallback_identical():
+    """Front coding: sorted keys, random strings, empties, unicode, runs of
+    identical values — round-trip exact, and the python fallback decode
+    matches the C kernel byte-for-byte."""
+    import numpy as np
+    import pyarrow as pa
+
+    from colonnade_spark import blocks
+    from colonnade_spark.codecs import _native
+
+    rng = np.random.default_rng(21)
+    cases = [
+        sorted(f"src/m_{i//40}/s_{i%40}/f_{i}.py" for i in range(2000)),
+        ["".join(chr(c) for c in rng.integers(32, 700,
+                                              size=rng.integers(0, 60)))
+         for _ in range(300)],
+        ["", "", "a", "", "ab", "abc", ""],
+        ["shared/long/prefix/x"] * 50 + ["shared/long/prefix/y"],
+        ["a/b", None, "a/c", None, "a/d"],
+        sorted("k" * (i % 300) for i in range(400)),   # long shared runs
+    ]
+    for vals in cases:
+        arr = pa.array(vals)
+        blk = blocks.encode_block(arr, codec="fcode")
+        assert blocks.decode_block(blk).equals(arr)
+        real = _native.get_lib
+        try:
+            _native.get_lib = lambda: None
+            assert blocks.decode_block(blk).equals(arr)
+        finally:
+            _native.get_lib = real
+
+
+def test_fcode_not_applicable_single_row_and_ints():
+    import pyarrow as pa
+    import pytest
+
+    from colonnade_spark import blocks
+
+    with pytest.raises(blocks.BlockError, match="not applicable"):
+        blocks.encode_block(pa.array(["one"]), codec="fcode")
+    with pytest.raises(blocks.BlockError, match="not applicable"):
+        blocks.encode_block(pa.array([1, 2, 3]), codec="fcode")
+
+
+def test_fcode_estimate_prefers_sorted_over_random():
+    """Selection economics: the fcode estimate must be near the true size,
+    small on sorted keys and ~total on random strings (so auto never picks
+    it for unsorted data)."""
+    import pyarrow as pa
+
+    from colonnade_spark import blocks
+    from colonnade_spark.codecs import BY_NAME, EncodeContext, compute_stats, from_arrow
+
+    fc = BY_NAME["fcode"]
+    srt = pa.array(sorted(f"org/team_{i//100}/repo_{i//10}/file_{i:06d}.txt"
+                          for i in range(3000)))
+    col, _ = from_arrow(srt)
+    st = compute_stats(col, srt)
+    est = fc.estimate(col, st, EncodeContext())
+    true = len(blocks.encode_block(srt, codec="fcode"))
+    assert est < 0.6 * st.total_bytes          # sorted: big predicted win
+    assert abs(est - true) < 0.35 * true + 512  # and roughly honest
