@@ -207,11 +207,13 @@ def main() -> None:
         results = {}
         for c in ladder:
             # verify (decode + sha256) runs once, at the headline high level.
-            # Single-core runs are steal-insensitive (1 of 32 vCPUs) and the
-            # slowest level — one attempt there; best-of-2 everywhere else
-            # (wide runs see the ±4x steal spread).
-            results[c] = _run_level(c, corpus_dir,
-                                    attempts=1 if c == 1 else 2,
+            # The headline pair gets extra attempts: this host throttles in
+            # multi-minute windows (±4x, not always visible as steal
+            # jiffies), and a window landing on one headline level distorts
+            # the efficiency ratio in whichever direction it hits — best-of
+            # more attempts on BOTH headline levels is the honest guard.
+            attempts = 3 if c == high else (2 if c == low else 2)
+            results[c] = _run_level(c, corpus_dir, attempts=attempts,
                                     verify=(c == high))
         lo, hi = results[low], results[high]
         encode = {
