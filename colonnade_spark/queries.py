@@ -1959,6 +1959,93 @@ FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
 """
 
 
+def q_doc_chunk_windows(spark, sf_dir):
+    """Fixed-token-window document chunking with overlap — the step that
+    turns variable-length documents into training sequences (W=64-token
+    windows, stride 48, so consecutive windows overlap by 16 tokens).
+    Whitespace tokens ride as arrays through JVM built-ins only
+    (split/sequence/explode/slice/concat_ws — no Python).  Every doc emits
+    at least one window (an empty doc emits one empty window), and window
+    starts are exactly the stride multiples below the token count —
+    integer semantics both engines compute identically."""
+    from pyspark.sql import functions as F
+
+    W, S = 64, 48
+    docs = _read(spark, sf_dir, "documents")
+    df = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr("CASE WHEN length(trim(text)) = 0 "
+               "THEN cast(array() as array<string>) "
+               "ELSE split(trim(text), '\\\\s+') END").alias("toks"))
+    df = (df.withColumn("n", F.size("toks"))
+            .withColumn("start",
+                        F.explode(F.sequence(
+                            F.lit(0),
+                            F.greatest(F.col("n") - 1, F.lit(0)),
+                            F.lit(S)))))
+    win = F.slice(F.col("toks"), F.col("start") + 1, F.lit(W))
+    return df.select(
+        "doc_id",
+        (F.col("start") / S).cast("bigint").alias("win_id"),
+        F.concat_ws(" ", win).alias("win_text"),
+        F.size(win).cast("bigint").alias("win_len"))
+
+
+SQL_CHUNK_WINDOWS = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), 48)) AS start
+  FROM t)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS win_id,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+           AS win_text,
+       CAST(greatest(least(64, len(toks) - start), 0) AS BIGINT) AS win_len
+FROM s
+"""
+
+
+def q_dataset_mix_sample(spark, sf_dir):
+    """Deterministic per-language mixture sampling — the data-mix step of
+    a training pipeline (down-sample over-represented languages by a fixed
+    rate).  Keep decision = md5('mix' || id) bucket < per-lang rate: pure
+    JVM built-ins, no shuffle, stable across engines and reruns, and the
+    'mix' prefix decorrelates it from the train/val/test split buckets
+    (q_dataset_split uses the undecorated id)."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))
+              .cast("binary")), 1, 8), 16, 10).cast("bigint") % 100)
+    rate = (F.when(F.col("lang") == "en", 35)
+             .when(F.col("lang") == "de", 70)
+             .otherwise(100))
+    return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        "lang", bucket.alias("bucket"),
+                        rate.cast("bigint").alias("keep_rate"))
+            .filter(F.col("bucket") < rate))
+
+
+SQL_MIX_SAMPLE = """
+SELECT doc_id, lang, bucket, keep_rate
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+             CAST(CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)),
+                                      1, 8) AS BIGINT) % 100 AS BIGINT)
+                 AS bucket,
+             CAST(CASE WHEN lang = 'en' THEN 35
+                       WHEN lang = 'de' THEN 70
+                       ELSE 100 END AS BIGINT) AS keep_rate
+      FROM documents)
+WHERE bucket < keep_rate
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Test-set decontamination — the overlap check every training pipeline
     runs before eval: for each held-out (test-split) document, how many of
@@ -2236,6 +2323,8 @@ def _raw_registry() -> dict:
         "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
         "tpch_local_volume": (q_tpch_local_volume, SQL_TPCH_Q5),
         "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+        "doc_chunk_windows": (q_doc_chunk_windows, SQL_CHUNK_WINDOWS),
+        "dataset_mix_sample": (q_dataset_mix_sample, SQL_MIX_SAMPLE),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "pack_sequences": (q_pack_sequences, SQL_PACK),
         "top_terms": (q_top_terms, SQL_TOP_TERMS),
