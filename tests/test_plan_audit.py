@@ -84,3 +84,16 @@ def test_encode_staging_plan_shape(spark):
     assert "BroadcastHashJoin" in plan, plan          # salt map broadcast
     assert plan.count("Exchange") <= 3, plan           # agg + repartition
     assert "CartesianProduct" not in plan, plan
+
+
+def test_chunking_and_mix_sample_are_shuffle_free(spark):
+    """doc_chunk_windows (explode over per-row windows) and
+    dataset_mix_sample (hash-bucket filter) are embarrassingly parallel by
+    construction — their plans must contain NO exchange at all (at 100 TB
+    these run as pure map stages over the scan)."""
+    from colonnade_spark.queries import (q_dataset_mix_sample,
+                                         q_doc_chunk_windows)
+
+    for q in (q_doc_chunk_windows, q_dataset_mix_sample):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan, plan
