@@ -489,20 +489,29 @@ class FsstCodec(Codec):
             stream, _ = _encode_stream(probe, poff, table)
             return stream.size / int(poff[-1])
 
-        if ctx.fsst_table is not None:
-            r = ratio_of(ctx.fsst_table)
-            if r <= ctx.extras.get("fsst_probe_ratio", 1.0) * 1.25 + 0.02:
-                ctx.extras["fsst_chunk"] = (chunk_key, ctx.fsst_table)
-                return ctx.fsst_table
-        # drift-rebuild economics: the candidate machinery costs ~4 ms per
-        # build ITERATION.  A sorted small column (path/commit) drifts on
-        # EVERY stripe — its per-stripe chunk is tiny (the stripe cap is on
-        # total row bytes), so a full 5-iteration build costs more than
-        # encoding the chunk.  Small chunks take a 2-iteration build (~2/3
-        # of the 5-iteration ratio win at ~1/3 the cost); big chunks (a
-        # content stripe crossing a language boundary) amortize the full
-        # build.  Pure function of chunk size → deterministic.
-        iters = BUILD_ITERS if total >= _FULL_BUILD_MIN_BYTES else 2
+        # table reuse economics, re-measured after the C encode_scan made
+        # the encode itself cheap (fsst.py history: probe-gated reuse was
+        # right when numpy encode dominated):
+        # - BIG chunks (>= _FULL_BUILD_MIN_BYTES, e.g. 3.9 MB content
+        #   stripes): ALWAYS build fresh — the ~16 ms build is repaid
+        #   twice over, a chunk-fitted table encodes FASTER (fewer
+        #   escapes) and smaller (measured on sorted staged buckets:
+        #   shared-ctx 0.3054 @ 81 MB/s vs fresh 0.2902 @ 98 MB/s), and
+        #   the probe encode itself is pure overhead.
+        # - SMALL chunks (sorted path/commit slices, where the stripe cap
+        #   on total row bytes leaves ~30-80 KB per column): probe-gated
+        #   reuse with a cheap 2-iteration rebuild — a full build per tiny
+        #   chunk costs more than encoding it.
+        # Pure function of chunk size + content → deterministic.
+        if total < _FULL_BUILD_MIN_BYTES:
+            if ctx.fsst_table is not None:
+                r = ratio_of(ctx.fsst_table)
+                if r <= ctx.extras.get("fsst_probe_ratio", 1.0) * 1.25 + 0.02:
+                    ctx.extras["fsst_chunk"] = (chunk_key, ctx.fsst_table)
+                    return ctx.fsst_table
+            iters = 2
+        else:
+            iters = BUILD_ITERS
         ctx.fsst_table = build_symbol_table(col.data, col.offsets,
                                             iters=iters)
         ctx.extras["fsst_probe_ratio"] = ratio_of(ctx.fsst_table)
