@@ -212,8 +212,8 @@ def main() -> None:
             # jiffies), and a window landing on one headline level distorts
             # the efficiency ratio in whichever direction it hits — best-of
             # more attempts on BOTH headline levels is the honest guard.
-            attempts = 3 if c == high else (2 if c == low else 2)
-            results[c] = _run_level(c, corpus_dir, attempts=attempts,
+            results[c] = _run_level(c, corpus_dir,
+                                    attempts=3 if c == high else 2,
                                     verify=(c == high))
         lo, hi = results[low], results[high]
         encode = {

@@ -35,7 +35,7 @@ VERSION = 1
 #: FOR family) — general-purpose DEFLATE is available as the post-encode
 #: fmap (encode_block(post="zlib")), not as a selection candidate.
 _CANDIDATE_ORDER = ("plain", "forbp", "delta", "dict", "rle", "alpha4",
-                    "fsst", "fbss")
+                    "fcode", "fsst", "fbss")
 
 
 class BlockError(ValueError):

@@ -84,8 +84,11 @@ class FrontCodeCodec(Codec):
     codec_id = 8
 
     def applicable(self, col: ColumnData, stats: ColumnStats) -> bool:
-        # capability only; estimate() prices unsorted/tiny columns out
-        return col.kind == KIND_STR and col.n > 1
+        # capability only (a 1-row column front-codes fine: plens=[0],
+        # suffix = the whole string); the tiny-column floor lives in
+        # estimate() — a FORCED codec on a 1-row mapInArrow tail batch
+        # must encode, not raise (batch splits are partitioning-dependent)
+        return col.kind == KIND_STR and col.n > 0
 
     def estimate(self, col: ColumnData, stats: ColumnStats,
                  ctx: EncodeContext) -> int:

@@ -142,8 +142,22 @@ def assign_buckets(df, plan: EncodePlan, n_buckets: int,
         else F.xxhash64(*[F.col(c) for c in df.columns])
     if not pcol:
         return df.withColumn("__bucket", F.pmod(key_hash, F.lit(n_buckets)).cast("int"))
-    src = df if salt_sample_fraction >= 1.0 \
-        else df.sample(fraction=salt_sample_fraction, seed=42)
+    # CONTENT-PURE sampling, not df.sample(): Bernoulli sampling is a
+    # function of the input partitioning (split layout varies with file
+    # sizes, maxPartitionBytes, and defaultParallelism), so the same data
+    # on a different cluster size would yield a different salt map — and
+    # with it a different bucket layout, which a fused-path resume must
+    # never see (completed buckets are anti-joined out by id; a layout
+    # shift would silently lose/duplicate rows).  A hash filter over the
+    # row key is a pure function of row CONTENT: same input → same sample
+    # → same salt map, on any partitioning.
+    if salt_sample_fraction >= 1.0:
+        src = df
+    else:
+        thresh = int(salt_sample_fraction * 10000)
+        src = df.filter(
+            F.pmod(F.xxhash64(key_hash, F.lit("saltsample")),
+                   F.lit(10000)) < thresh)
     scale = 1.0 / min(max(salt_sample_fraction, 1e-9), 1.0)
     sizes = (src.groupBy(pcol).agg((F.sum(weight) * F.lit(scale)).alias("__bytes"))
              .withColumn("__salt_k",
@@ -398,6 +412,49 @@ def _encode_bucket_core(bucket: int, stripes, warehouse: str,
     return marker
 
 
+# one stats tuple shape everywhere: (buckets, rows, bytes_in, bytes_out,
+# task_wall_s); driver-side state stays O(n_buckets ints)
+_STATS_ZERO = (0, 0, 0, 0, 0.0)
+
+
+def _marker_stats(m: dict) -> tuple:
+    return (1, m["rows"], m["bytes_in"], m["bytes_out"],
+            float(m.get("wall_s", 0.0)))
+
+
+def _stats_add(a: tuple, b: tuple) -> tuple:
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def _scan_markers(sc, warehouse: str, fingerprint: str) -> tuple:
+    """Distributed resume scan: read every bucket marker in EXECUTORS (one
+    serial driver open per bucket was the round-3 bottleneck at ~4M
+    buckets), keep only full-fingerprint matches (plan AND input AND bucket
+    count AND salt params — stale markers must never validate against a
+    re-derived layout), and fold their stats.  Returns (done bucket-id set,
+    folded stats tuple).  Shared by the staged and fused paths so the
+    resume-validation rules cannot drift apart."""
+
+    def _read_marker(pth):
+        with open(pth) as f:
+            return json.load(f)
+
+    mpaths = glob.glob(os.path.join(warehouse, "markers", "bucket_*.json"))
+    done, stats = set(), _STATS_ZERO
+    if not mpaths:
+        return done, stats
+    rdd = sc.parallelize(mpaths, max(1, min(len(mpaths),
+                                            4 * int(sc.defaultParallelism))))
+    rows = (rdd.map(_read_marker)
+            .filter(lambda m: m.get("fingerprint") == fingerprint)
+            .map(lambda m: (m["bucket"], _marker_stats(m)))
+            .collect())
+    done = {b for b, _ in rows}
+    for _, st in rows:
+        stats = _stats_add(stats, st)
+    return done, stats
+
+
 def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
                  n_buckets: int = 32, stripe_bytes: int = 4 << 20,
                  target_salt_bytes: int = 64 << 20,
@@ -433,8 +490,16 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
             shutil.rmtree(warehouse)
     os.makedirs(warehouse, exist_ok=True)
 
-    fingerprint = json.dumps({"plan": plan.plan_hash(), "n_buckets": n_buckets,
-                              "input": input_token}, sort_keys=True)
+    # the fingerprint must pin EVERYTHING the bucket layout depends on:
+    # salt parameters changed between runs would re-derive a different
+    # layout at resume, and the fused path (which recomputes assignment
+    # instead of reading it back from staged parquet) would then trust
+    # markers from the old layout — silent row loss/duplication
+    fingerprint = json.dumps(
+        {"plan": plan.plan_hash(), "n_buckets": n_buckets,
+         "input": input_token,
+         "salt": [int(target_salt_bytes), round(float(salt_sample_fraction), 6)]},
+        sort_keys=True)
     staged_dir = os.path.join(warehouse, "staged")
     staged_marker = os.path.join(warehouse, "_STAGED.json")
 
@@ -484,20 +549,6 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
             json.dump({"fingerprint": fingerprint}, f)
 
     sc = spark.sparkContext
-    # one stats tuple shape everywhere: (buckets, rows, bytes_in, bytes_out,
-    # task_wall_s).  Driver-side state stays O(n_buckets ints) — every
-    # per-bucket file I/O (marker reads, size listing) and the stats fold
-    # run as Spark jobs.  Executors already read the staged dir and write
-    # markers, so warehouse-on-shared-storage is an existing invariant, not
-    # a new assumption.
-    def _stats_of(m: dict) -> tuple:
-        return (1, m["rows"], m["bytes_in"], m["bytes_out"],
-                float(m.get("wall_s", 0.0)))
-
-    def _add(a: tuple, b: tuple) -> tuple:
-        return tuple(x + y for x, y in zip(a, b))
-
-    _ZERO = (0, 0, 0, 0, 0.0)
 
     def _par(items):
         return sc.parallelize(items, max(1, min(len(items), 4 * int(
@@ -506,27 +557,9 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
     all_buckets = sorted(int(p.split("=")[-1])
                          for p in glob.glob(os.path.join(staged_dir, "__bucket=*")))
     done: set = set()
-    resumed_stats = _ZERO
+    resumed_stats = _STATS_ZERO
     if mode == "resume":
-        mpaths = glob.glob(os.path.join(warehouse, "markers", "bucket_*.json"))
-        if mpaths:
-            def _read_marker(p):
-                with open(p) as f:
-                    return json.load(f)
-
-            # full-fingerprint match: same plan AND same staged input AND
-            # same bucket count (ADVICE: plan_hash alone let stale markers
-            # validate against re-staged data).  Marker files are read by
-            # EXECUTORS (one serial open per bucket was the round-3 driver
-            # bottleneck flagged at ~4M buckets); only (bucket, stats)
-            # tuples return.
-            marker_rows = (_par(mpaths).map(_read_marker)
-                           .filter(lambda m: m.get("fingerprint") == fingerprint)
-                           .map(lambda m: (m["bucket"], _stats_of(m)))
-                           .collect())
-            done = {b for b, _ in marker_rows}
-            for _, s in marker_rows:
-                resumed_stats = _add(resumed_stats, s)
+        done, resumed_stats = _scan_markers(sc, warehouse, fingerprint)
     pending = [b for b in all_buckets if b not in done]
     # longest-first scheduling: Spark runs partitions in order, so putting the
     # biggest buckets first removes end-of-job stragglers (the classic LPT
@@ -544,18 +577,18 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
     t_stage = time.time() - t_stage0
     t_enc0 = time.time()
     plan_json = plan.to_json()
-    encoded_stats = _ZERO
+    encoded_stats = _STATS_ZERO
     if pending:
         rdd = sc.parallelize(pending, len(pending))
         # markers are durably written per bucket by the task itself; the
         # driver folds ONE stats tuple instead of collecting n_buckets dicts
         encoded_stats = (rdd.map(lambda b: _encode_bucket(
             b, staged_dir, warehouse, plan_json, stripe_bytes,
-            fingerprint)).map(_stats_of).reduce(_add))
+            fingerprint)).map(_marker_stats).reduce(_stats_add))
 
     # corpus totals fold in resumed buckets' marker stats, so a post-resume
     # manifest reports the WHOLE warehouse, not just this run's increment
-    totals = _add(encoded_stats, resumed_stats)
+    totals = _stats_add(encoded_stats, resumed_stats)
     manifest = {
         "plan": json.loads(plan.to_json()),
         "plan_hash": plan.plan_hash(),
@@ -600,26 +633,9 @@ def _encode_fused(spark, projected, plan: EncodePlan, warehouse: str, *,
     sc = spark.sparkContext
     mdir = os.path.join(warehouse, "markers")
     done: set = set()
-    resumed_stats = (0, 0, 0, 0, 0.0)
+    resumed_stats = _STATS_ZERO
     if mode == "resume":
-        mpaths = glob.glob(os.path.join(mdir, "bucket_*.json"))
-        if mpaths:
-            def _read_marker(p):
-                with open(p) as f:
-                    return json.load(f)
-
-            rdd = sc.parallelize(mpaths, max(1, min(len(mpaths),
-                                                    4 * int(sc.defaultParallelism))))
-            marker_rows = (rdd.map(_read_marker)
-                           .filter(lambda m: m.get("fingerprint") == fingerprint)
-                           .map(lambda m: (m["bucket"],
-                                           (1, m["rows"], m["bytes_in"],
-                                            m["bytes_out"],
-                                            float(m.get("wall_s", 0.0)))))
-                           .collect())
-            done = {b for b, _ in marker_rows}
-            for _, s in marker_rows:
-                resumed_stats = tuple(x + y for x, y in zip(resumed_stats, s))
+        done, resumed_stats = _scan_markers(sc, warehouse, fingerprint)
         # stale state from a different fingerprint (plan / input / bucket
         # count changed) must not leak into the final warehouse: drop any
         # marker, block dir, or lineage file without a valid marker
@@ -690,7 +706,7 @@ def _encode_fused(spark, projected, plan: EncodePlan, warehouse: str, *,
     encoded_stats = (int(agg["n"] or 0), int(agg["rows"] or 0),
                      int(agg["bi"] or 0), int(agg["bo"] or 0),
                      float(agg["w"] or 0.0))
-    totals = tuple(x + y for x, y in zip(encoded_stats, resumed_stats))
+    totals = _stats_add(encoded_stats, resumed_stats)
     manifest = {
         "plan": json.loads(plan_json),
         "plan_hash": plan.plan_hash(),

@@ -1972,11 +1972,14 @@ def q_doc_chunk_windows(spark, sf_dir):
 
     W, S = 64, 48
     docs = _read(spark, sf_dir, "documents")
+    # coalesce: NULL text must behave like empty (the oracle's NULL-skipping
+    # greatest/least would otherwise diverge); python-arg F.split keeps the
+    # backslash pattern out of the SQL-literal escape layer (CLAUDE.md)
+    txt = F.trim(F.coalesce(F.col("text"), F.lit("")))
     df = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.expr("CASE WHEN length(trim(text)) = 0 "
-               "THEN cast(array() as array<string>) "
-               "ELSE split(trim(text), '\\\\s+') END").alias("toks"))
+        F.when(F.length(txt) == 0, F.array().cast("array<string>"))
+         .otherwise(F.split(txt, r"\s+")).alias("toks"))
     df = (df.withColumn("n", F.size("toks"))
             .withColumn("start",
                         F.explode(F.sequence(
@@ -1994,8 +1997,9 @@ def q_doc_chunk_windows(spark, sf_dir):
 SQL_CHUNK_WINDOWS = """
 WITH t AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN []
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+')
+         END AS toks
   FROM documents),
 s AS (
   SELECT doc_id, toks,

@@ -575,14 +575,18 @@ def test_fcode_roundtrip_and_fallback_identical():
             _native.get_lib = real
 
 
-def test_fcode_not_applicable_single_row_and_ints():
+def test_fcode_single_row_encodes_and_ints_rejected():
+    """applicable() is capability-only (CLAUDE.md): a FORCED fcode on a
+    1-row mapInArrow tail batch must encode (plens=[0], suffix = whole
+    string), never raise; non-string kinds are a genuine capability
+    mismatch."""
     import pyarrow as pa
     import pytest
 
     from colonnade_spark import blocks
 
-    with pytest.raises(blocks.BlockError, match="not applicable"):
-        blocks.encode_block(pa.array(["one"]), codec="fcode")
+    one = pa.array(["only one"])
+    assert blocks.decode_block(blocks.encode_block(one, codec="fcode")).equals(one)
     with pytest.raises(blocks.BlockError, match="not applicable"):
         blocks.encode_block(pa.array([1, 2, 3]), codec="fcode")
 

@@ -38,6 +38,15 @@ def test_string_roundtrip_each_codec(vals, codec):
     assert decode_block(encode_block(arr, codec=codec)).equals(arr)
 
 
+@settings(**_SETTINGS)
+@given(st.lists(text_cell, min_size=2, max_size=80), st.booleans())
+def test_string_roundtrip_fcode(vals, sort_first):
+    # front coding applies to any n>=2 string column; sortedness only
+    # changes the ratio, never correctness
+    arr = pa.array(sorted(vals) if sort_first else vals, type=pa.string())
+    assert decode_block(encode_block(arr, codec="fcode")).equals(arr)
+
+
 int_cell = st.one_of(
     st.integers(min_value=-(2**63), max_value=2**63 - 1),
     st.sampled_from([0, 1, -1, 2**63 - 1, -(2**63)]),
