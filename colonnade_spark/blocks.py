@@ -133,7 +133,13 @@ def decode_block(buf: bytes | memoryview) -> pa.Array:
             f"block is cell fragment {header['f']}: a fragmented cell needs "
             f"its full set — use decode_cell_fragments")
     if header["n"] == 0:
-        return pa.array([], type=pa.type_for_alias(header["t"]))
+        base = pa.type_for_alias(header["t"])
+        if header.get("k") == "list":
+            # list headers store t = VALUE type; an empty list block must
+            # still decode to the list type (an empty tail batch of an
+            # embedding column otherwise comes back as bare float)
+            base = pa.large_list(base) if header.get("lg") else pa.list_(base)
+        return pa.array([], type=base)
     if header.get("crc") is not None and zlib.crc32(payload) != header["crc"]:
         raise BlockError(f"crc mismatch in block (codec_id={codec_id})")
     if header.get("z"):

@@ -38,10 +38,12 @@ def _reader(spark, **opts):
     return r
 
 
-def write_csv(df, path: str, *, headed: bool = True, mode: str = "overwrite",
-              multiline_cells: bool = False) -> None:
+def write_csv(df, path: str, *, headed: bool = True,
+              mode: str = "overwrite") -> None:
     """Emit RFC 4180 CSV; ``headed`` writes the header row (the
-    headed/headless duality of the reference's encoder)."""
+    headed/headless duality of the reference's encoder).  Embedded
+    newlines need no write-side flag — quoteAll already protects them;
+    ``multiline_cells`` is a READER option (the readers take it)."""
     (df.write.mode(mode)
      .option("quote", '"').option("escape", '"')
      # quote every cell: Spark's minimal quoting does not quote a lone \r,

@@ -322,10 +322,24 @@ def _encode_bucket_core(bucket: int, stripes, warehouse: str,
                                                  post=spec.post)
                 ms = (time.perf_counter() - t0) * 1e3
                 # zone stats for the single cell (on fragment 0) so a
-                # zone_filter on this column never wrongly prunes the stripe
-                v = arr[0].as_py()
-                raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
-                smin, smax = _zone_str_bounds(raw, raw)
+                # zone_filter on this column never wrongly prunes the stripe.
+                # Only the first _ZONE_PREFIX+1 bytes matter (prefix min;
+                # prefix+1 decides whether the max gets truncate-and-bump),
+                # so SLICE them from the arrow buffer — as_py() here would
+                # materialize the whole multi-GiB cell as a python object a
+                # second time (encode_cell_fragments already paid that once)
+                cast_to = (pa.large_binary()
+                           if (pa.types.is_large_string(arr.type)
+                               or pa.types.is_large_binary(arr.type))
+                           else pa.binary())
+                head = pc.binary_slice(
+                    arr.cast(cast_to), 0, _ZONE_PREFIX + 1)[0].as_py()
+                total_len = arr.nbytes  # single cell: data bytes = cell len
+                # emulate full-string semantics: if the cell is longer than
+                # the prefix we sliced, pad logically by passing a >16-byte
+                # stand-in (the bump path only inspects the first 16 bytes)
+                mx = head if total_len <= _ZONE_PREFIX else head + b"\x00"
+                smin, smax = _zone_str_bounds(head, mx)
                 cell_bytes = arr.nbytes
                 left = cell_bytes
                 for fi, blk in enumerate(frames):
@@ -788,7 +802,14 @@ def decode_table(spark, warehouse: str, *, shuffle: bool = False,
     # nested 'struct<' and rstrip('>') eats array<...>'s closing brackets
     # (the submit_job ADVICE bug, present here too)
     full_schema = _parse_datatype_string(manifest["schema_ddl"])
-    keep_fields = [f for f in full_schema.fields if f.name in cols]
+    # keep_fields MUST follow the REQUESTED column order, not the plan's:
+    # assemble_one builds the arrow table in `cols` order and the arrow →
+    # Spark boundary binds by POSITION, so a plan-ordered schema against a
+    # request-ordered table silently swaps same-typed columns (review
+    # finding, reproduced: columns=["lang","text"] returned lang values
+    # under the "text" name)
+    by_name = {f.name: f for f in full_schema.fields}
+    keep_fields = [by_name[c] for c in cols]
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                            for f in keep_fields)
     arrow_schema = to_arrow_schema(_parse_datatype_string(out_schema))
@@ -1007,7 +1028,10 @@ def verify_roundtrip(spark, source_df, plan: EncodePlan, warehouse: str) -> dict
     s, d = hashed(src, "s"), hashed(decoded, "d")
     joined = s.alias("s").join(d.alias("d"), on=list(plan.key_cols), how="full")
     cmp_cols = [c for c in plan.column_names if c not in plan.key_cols]
-    mismatch = None
+    # all-key plans (every column part of row identity) have nothing beyond
+    # join membership to compare: mismatch stays constant-false rather than
+    # None (F.when(None, ...) raises — review finding)
+    mismatch = F.lit(False)
     for c in cmp_cols:
         cond = (F.col(f"s.{c}__h").isNull() | F.col(f"d.{c}__h").isNull()
                 | (F.col(f"s.{c}__h") != F.col(f"d.{c}__h")))

@@ -10,10 +10,16 @@ _shipped: set = set()
 
 
 def package_zip(dest_dir: str = "/tmp") -> str:
-    """Deterministic zip of the colonnade_spark package for --py-files."""
+    """Deterministic zip of the colonnade_spark package for --py-files.
+
+    Atomic publish (unique tmp + os.replace, the repo-wide discipline):
+    concurrent driver processes — parallel pytest workers, simultaneous
+    submit_job runs — otherwise race on the shared fixed path and an
+    executor can addPyFile a torn zip."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(dest_dir, "colonnade_spark_pyfiles.zip")
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+    tmp = f"{out}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         for root, _dirs, files in os.walk(pkg_dir):
             for fn in sorted(files):
                 if not fn.endswith(".py"):
@@ -22,6 +28,7 @@ def package_zip(dest_dir: str = "/tmp") -> str:
                 rel = os.path.join("colonnade_spark",
                                    os.path.relpath(full, pkg_dir))
                 z.write(full, rel)
+    os.replace(tmp, out)
     return out
 
 

@@ -601,3 +601,55 @@ def test_decode_schema_nested_type_last(spark, tmp_path):
            for r in engine.decode_table(spark, wh).collect()}
     want = {r["vec_id"]: r["embedding"] for r in src.collect()}
     assert got == want
+
+
+def test_decode_column_subset_respects_requested_order(spark, tmp_path):
+    """Regression (review finding): decode_table(columns=...) in NON-plan
+    order must return the requested order with the right values — the
+    arrow → Spark boundary binds by position, and a plan-ordered schema
+    against a request-ordered table silently swapped same-typed columns."""
+    from colonnade_spark.plan import plan
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", f"l{i % 3}") for i in range(40)],
+        "doc_id bigint, text string, lang string")
+    p = (plan().headed("doc_id").headed("text").headed("lang")
+         .with_keys("doc_id"))
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, df, p, wh, n_buckets=2, input_token="ord")
+    out = engine.decode_table(spark, wh, columns=["lang", "text"])
+    assert out.columns == ["lang", "text"]
+    got = {r["lang"]: r["text"] for r in out.limit(1).collect()}
+    for r in out.collect():
+        assert r["text"].startswith("t") and r["lang"].startswith("l"), r
+
+
+def test_empty_list_block_decodes_to_list_type(spark):
+    """Regression (review finding): an n==0 list block must decode to the
+    LIST type, not the child value type (empty tail batches of an
+    embedding column)."""
+    import pyarrow as pa
+
+    from colonnade_spark import blocks
+
+    empty = pa.array([], type=pa.list_(pa.float32()))
+    out = blocks.decode_block(blocks.encode_block(empty))
+    assert out.type == pa.list_(pa.float32()), out.type
+    assert len(out) == 0
+
+
+def test_verify_roundtrip_all_key_plan(spark, tmp_path):
+    """Regression (review finding): a plan where EVERY column is a key
+    column must verify (membership-only compare), not crash on
+    F.when(None, ...)."""
+    from colonnade_spark.plan import plan
+
+    df = spark.createDataFrame(
+        [(f"r{i}", f"p{i}", f"c{i}") for i in range(30)],
+        "repo string, path string, commit string")
+    p = (plan().headed("repo").headed("path").headed("commit")
+         .with_keys("repo", "path", "commit"))
+    wh = str(tmp_path / "wh")
+    engine.encode_table(spark, df, p, wh, n_buckets=2, input_token="keys")
+    summary = engine.verify_roundtrip(spark, df, p, wh)
+    assert summary["ok"] and summary["rows_decoded"] == 30
