@@ -82,23 +82,45 @@ class SymbolTable:
                                ("len", "<i4"), ("code", "u1")])
         hkey, hmask = slot["key"], slot["mask"]
         hlen, hcode = slot["len"], slot["code"]
-        for code, s in enumerate(self.symbols):  # gain-desc order: first wins
-            L = len(s)
-            if L == 1:
-                if t1[s[0]] == ESCAPE:
-                    t1[s[0]] = code
-            elif L == 2:
-                i = s[0] | (s[1] << 8)  # little-endian u16 index
-                if t2[i] == ESCAPE:
-                    t2[i] = code
-            else:
-                k = int.from_bytes(s.ljust(MAX_LEN, b"\0"), "little")
-                h = (((k & 0xFFFFFF) * _HASH_MULT32) & 0xFFFFFFFF) >> (32 - _HASH_BITS)
-                if hlen[h] == 0:
-                    hkey[h] = k
-                    hmask[h] = (1 << (8 * L)) - 1
-                    hlen[h] = L
-                    hcode[h] = code
+        # vectorized first-wins inserts (symbols are gain-desc; finalize
+        # runs once per BUILD ITERATION, so the old 255-step python loop
+        # was a measurable slice of every table build): numpy fancy
+        # assignment keeps the LAST write per index, so feeding the
+        # symbols REVERSED makes the first (highest-gain) one win —
+        # identical to the loop's if-empty-insert rule.
+        if self.symbols:
+            lens = np.array([len(s) for s in self.symbols], dtype=np.int64)
+            codes = np.arange(len(self.symbols), dtype=np.uint8)
+            keys = np.frombuffer(
+                b"".join(s.ljust(MAX_LEN, b"\0") for s in self.symbols),
+                dtype="<u8")
+            m1 = lens == 1
+            if m1.any():
+                idx = (keys[m1] & np.uint64(0xFF)).astype(np.int64)
+                t1[idx[::-1]] = codes[m1][::-1]
+            m2 = lens == 2
+            if m2.any():
+                idx = (keys[m2] & np.uint64(0xFFFF)).astype(np.int64)
+                t2[idx[::-1]] = codes[m2][::-1]
+            m3 = lens >= 3
+            if m3.any():
+                k3, l3, c3 = keys[m3], lens[m3], codes[m3]
+                # k24 < 2^24 and MULT < 2^32 → the int64 product is exact
+                h = ((((k3 & np.uint64(0xFFFFFF)).astype(np.int64)
+                       * _HASH_MULT32) & 0xFFFFFFFF)
+                     >> (32 - _HASH_BITS)).astype(np.int64)
+                full = np.uint64(0xFFFFFFFFFFFFFFFF)
+                # clamp before shifting: np.where evaluates BOTH branches,
+                # and a shift by 64 (L == MAX_LEN) is undefined
+                l3c = np.minimum(l3, MAX_LEN - 1).astype(np.uint64)
+                masks = np.where(
+                    l3 == MAX_LEN, full,
+                    (np.uint64(1) << (l3c << np.uint64(3))) - np.uint64(1))
+                hr = h[::-1]
+                hkey[hr] = k3[::-1]
+                hmask[hr] = masks[::-1]
+                hlen[hr] = l3[::-1].astype(np.int32)
+                hcode[hr] = c3[::-1]
         self._t1, self._t2 = t1, t2
         self._slot = slot
         self._hkey, self._hmask, self._hlen, self._hcode = hkey, hmask, hlen, hcode
@@ -368,14 +390,23 @@ def _decode_stream(stream: np.ndarray, counts: np.ndarray, table: SymbolTable
 
 def _gram_keys(data: np.ndarray, pos: np.ndarray, lens: np.ndarray
                ) -> np.ndarray:
-    """uint64 key for the gram at (pos, len): big-endian bytes, zero-padded,
-    xor length in the low bits of a second lane folded in (length kept
-    separate by caller)."""
-    key = np.zeros(pos.size, dtype=np.uint64)
-    for L in range(1, MAX_LEN + 1):
-        m = lens >= L
-        key[m] = (key[m] << np.uint64(8)) | data[pos[m] + L - 1].astype(np.uint64)
-    return key
+    """uint64 key for the gram at (pos, len): big-endian bytes (length kept
+    separate by caller).
+
+    ONE unaligned-u64 gather through the byte-strided view (the scan's
+    trick), then byteswap to big-endian and shift off the tail bytes —
+    bit-identical to the old 8-pass masked shift/or loop (byteswap of the
+    little-endian load is b0<<56|..|b7; >> 8*(8-L) keeps b0..b_{L-1}, the
+    big-endian L-gram), ~7x fewer kernel dispatches."""
+    n = data.size
+    n_pad = ((n + MAX_LEN + 15) // 8) * 8
+    pad = np.zeros(n_pad, dtype=np.uint8)
+    pad[:n] = data
+    u64v = np.lib.stride_tricks.as_strided(
+        pad.view("<u8"), shape=(n_pad - 8,), strides=(1,))
+    k = u64v[pos].byteswap()
+    return k >> ((np.uint64(MAX_LEN) - lens.astype(np.uint64))
+                 << np.uint64(3))
 
 
 def stratified_sample(data: np.ndarray, offsets: np.ndarray,
@@ -428,7 +459,9 @@ def build_symbol_table(data: np.ndarray, offsets: np.ndarray,
         cand_pos = np.concatenate((units, pair_pos[ok]))
         cand_len = np.concatenate((ulen, pair_len[ok]))
         keys = _gram_keys(data, cand_pos, cand_len)
-        combo = keys.astype(np.uint64) * np.uint64(16) + cand_len.astype(np.uint64)
+        # (keys << 4) | len  ==  keys*16 + len (mod 2^64, len <= 8): shifts
+        # keep the uint64 path SIMD-friendly (CLAUDE.md: u64 multiply slow)
+        combo = (keys << np.uint64(4)) | cand_len.astype(np.uint64)
         uniq, inv, cnt = np.unique(combo, return_inverse=True, return_counts=True)
         glen = (uniq % np.uint64(16)).astype(np.int64)
         gain = cnt * glen
