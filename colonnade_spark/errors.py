@@ -95,8 +95,13 @@ def validate_blocks(spark, warehouse: str, expected_cols: list | None = None):
                 emit(KIND_DECODE, r["column"], repr(e))
         for col, grp in fragged.groupby("column"):
             try:
-                arr = B.decode_cell_fragments(list(grp["block"]))
-                n_by_col[col] = len(arr)
+                # STREAMING drain, not decode_cell_fragments: validation
+                # needs per-fragment crc + completeness, not the value —
+                # materializing would cost ~4x the cell size on the very
+                # multi-GiB cells the fragment path exists for
+                for _chunk in B.iter_cell_fragments(list(grp["block"])):
+                    pass
+                n_by_col[col] = 1          # a fragmented cell is one row
             except B.BlockError as e:
                 msg = str(e)
                 emit(KIND_CRC if "crc" in msg else KIND_DECODE, col, msg)

@@ -133,6 +133,14 @@ def extract_features(df, id_col: str, bin_col: str, modality: str = "fake",
             "no media codecs in this environment — register_decoder() a real "
             "decoder and pass its modality name")
     decoder = _DECODERS.get(modality)
+    if decoder is None and modality != "fake":
+        # a typo'd modality silently producing fake histogram features
+        # would poison a feature table — same guard stance as ivf_topk's
+        # unknown-train-mode check
+        raise KeyError(
+            f"unknown modality {modality!r}: registered = "
+            f"{sorted(_DECODERS)}; use 'fake' for the deterministic "
+            "stand-in decoder")
 
     src = df.select(F.col(id_col).cast("bigint").alias("id"),
                     F.col(bin_col).alias("payload"))

@@ -45,6 +45,24 @@ def _planes(dim: int, n_bits: int, seed: int = 0x51AE) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
+def _stack_vecs(vecs) -> np.ndarray:
+    """Batch of array<float> cells → (n, dim) float64, failing LOUDLY on a
+    NULL or ragged row — np.stack's bare shape error names neither, and a
+    silent per-row fallback would corrupt signatures.  Callers that may
+    see null vectors should filter them out first (a null embedding cannot
+    be indexed or matched)."""
+    rows = [np.asarray(v, dtype=np.float64) for v in vecs]
+    bad = [i for i, r in enumerate(rows) if r.ndim != 1]
+    if bad:
+        raise ValueError(
+            f"null/non-vector embedding at batch rows {bad[:5]} — filter "
+            "null vectors before LSH/IVF indexing")
+    dims = {r.size for r in rows}
+    if len(dims) > 1:
+        raise ValueError(f"ragged embedding lengths {sorted(dims)[:5]}")
+    return np.stack(rows)
+
+
 def with_lsh_signature(df, vec_col: str, dim: int, n_bits: int = 32,
                        sig_col: str = "lsh_sig", seed: int = 0x51AE):
     """Add an n_bits-bit random-hyperplane signature column.
@@ -65,7 +83,7 @@ def with_lsh_signature(df, vec_col: str, dim: int, n_bits: int = 32,
     def sig_udf(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int64")
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = _stack_vecs(vecs)
         bits = (m @ planes_t) > 0                            # (n, n_bits)
         return pd.Series((bits.astype(np.int64) * weights).sum(axis=1))
 
@@ -165,9 +183,13 @@ def train_centroids_distributed(corpus_df, vec_col: str, dim: int, k: int,
     cent = rng.standard_normal((k, dim))
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
     nrm = "sqrt(" + _DOT.format(a="e", b="e") + ")"
+    # norm as a COLUMN, referenced from inside the lambda: Catalyst does
+    # not hoist lambda-invariant subtrees out of higher-order functions,
+    # so nesting the aggregate in the transform re-paid the full dot
+    # product once PER ELEMENT (O(dim^2) per vector per Lloyd round)
     v = (corpus_df.select(F.expr(_dbl(vec_col)).alias("e"))
-         .select(F.expr(f"transform(e, x -> x / greatest({nrm}, 1e-30))")
-                 .alias("e")))
+         .withColumn("_nrm", F.expr(f"greatest({nrm}, 1e-30)"))
+         .select(F.expr("transform(e, x -> x / _nrm)").alias("e")))
     for _ in range(iters):
         assigned = with_ivf_cell(v, "e", cent, n_probe=1)
         ex = assigned.select(F.col("cells")[0].alias("cell"),
@@ -199,7 +221,7 @@ def with_ivf_cell(df, vec_col: str, centroids: np.ndarray,
     def cell_udf(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = _stack_vecs(vecs)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         sims = (m / np.maximum(norms, 1e-30)) @ cent_t       # (n, k) cosine
         order = np.argsort(-sims, axis=1)[:, :n_probe]
@@ -241,6 +263,11 @@ def ivf_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
         sample_rows = (corpus_df.select(F.col(id_col).alias("_i"),
                                         F.expr(_dbl(vec_col)).alias("_e"))
                        .orderBy("_i").limit(train_n).collect())
+        if not sample_rows:
+            raise ValueError(
+                "ivf_topk: empty corpus (or all-null vectors) — nothing to "
+                "train the coarse quantizer on; brute_force_topk returns "
+                "empty cleanly if that is the intent")
         sample = np.stack([np.asarray(r["_e"], dtype=np.float64)
                            for r in sample_rows])
         centroids = _train_centroids(sample, n_cells)
@@ -299,7 +326,8 @@ def cosine_near_dup_pairs(spark, df, vec_col: str, id_col: str,
         pairs = va.crossJoin(vb).filter(F.col("id_a") < F.col("id_b"))
     else:
         if dim is None:
-            first = v.select(F.size("e")).first()
+            first = (v.filter(F.col("e").isNotNull())
+                     .select(F.size("e")).first())
             dim = int(first[0]) if first else 0
         rb = n_bits // bands
         mask = (1 << rb) - 1

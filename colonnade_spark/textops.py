@@ -100,10 +100,17 @@ def _shingle_keys(texts, shingle: int):
         out_mask[starts[short_idx]] = False
         keys[out_mask] = roll[valid]
     elif long_mask.any() and nk > 0:
-        # wide-shingle fallback (shingle > 8): explicit rolling build
+        # wide-shingle fallback (shingle > 8): sponge the bytes through a
+        # splitmix round per position.  The old OR-combiner folded byte j
+        # and byte j+8 into the SAME lane saturatingly — symmetric swaps
+        # ('AxxxxxxxB' vs 'BxxxxxxxA') collided and bits biased toward 1,
+        # inflating MinHash/SimHash similarity for shingle > 8.  A mix
+        # round per byte is position-dependent and collision-resistant;
+        # cost is shingle passes over the window count (wide shingles
+        # only; the <=8 path is untouched and stays oracle-mirrored).
         roll = np.zeros(nk, dtype=np.uint64)
         for j in range(shingle):
-            roll |= buf[j: nk + j].astype(np.uint64) << np.uint64(8 * (j % 8))
+            roll = _mix64(roll ^ buf[j: nk + j].astype(np.uint64))
         valid = np.ones(nk, dtype=bool)
         bad = (off[1:, None] - np.arange(1, shingle, dtype=np.int64)).ravel()
         bad = bad[(bad >= 0) & (bad < nk)]
@@ -222,6 +229,12 @@ def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
     via ``sig_df`` (columns: id_col, sig) and skip the kernel entirely."""
     from pyspark.sql import functions as F
 
+    if bands <= 0 or n_hashes % bands:
+        # silent truncation here degenerates recall (rows=0 -> one constant
+        # bucket that the size cap then drops entirely -> ZERO pairs)
+        raise ValueError(
+            f"bands must divide n_hashes: got n_hashes={n_hashes}, "
+            f"bands={bands}")
     rows = n_hashes // bands
     if sig_df is not None:
         sigged = sig_df.select(id_col, "sig")

@@ -357,3 +357,47 @@ def test_connected_components_releases_superseded_storage(spark):
     after = len(sc._jsc.sc().getRDDStorageInfo())
     # only the FINAL round's checkpoint (and nothing per-round) remains
     assert after - before <= 1, (before, after)
+
+
+def test_minhash_bands_must_divide_hashes(spark):
+    import pytest
+
+    from colonnade_spark.textops import minhash_near_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "id long, t string")
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_near_dup_pairs(spark, df, "id", "t", n_hashes=16, bands=5)
+
+
+def test_unknown_modality_raises_not_silent_fake():
+    import pytest
+
+    from colonnade_spark.multimodal import extract_features
+
+    with pytest.raises(KeyError, match="unknown modality"):
+        extract_features(None, "id", "payload", modality="images")
+
+
+def test_lsh_null_vector_fails_loudly(spark):
+    import pytest
+
+    from colonnade_spark.simsearch import with_lsh_signature
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None)], "id long, e array<float>")
+    out = with_lsh_signature(df, "e", 2, 8)
+    with pytest.raises(Exception, match="null/non-vector embedding"):
+        out.collect()
+
+
+def test_wide_shingle_keys_are_position_dependent():
+    """Regression: the old OR-combiner collided symmetric swaps for
+    shingle > 8 ('AxxxxxxxB' vs 'BxxxxxxxA' keyed identically)."""
+    import numpy as np
+
+    from colonnade_spark.textops import _shingle_keys
+
+    a, b = "AxxxxxxxB", "BxxxxxxxA"
+    ka, _, _ = _shingle_keys([a], shingle=9)
+    kb, _, _ = _shingle_keys([b], shingle=9)
+    assert not np.array_equal(ka, kb)
