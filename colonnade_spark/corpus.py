@@ -107,6 +107,12 @@ def generate_batch(file_ids: np.ndarray, seed: int = 42) -> pa.RecordBatch:
         f = int(fid[i])
         lang = LANGS[int(lang_idx[i])]
         repo = f"org{int(repo_idx[i]) % 10}/repo{int(repo_idx[i])}"
+        # NOTE (review, round 4): `% 3` caps nesting at 2 dirs although
+        # `depth` is drawn 1..8 — shallower paths than the draw implies.
+        # Left AS IS deliberately: the corpus is the benchmark input, and
+        # changing it would fork every cached corpus (/tmp keyed only by
+        # n_files+seed) and break BENCH round-over-round comparability.
+        # Revisit at a round boundary together with a corpus version tag.
         path = "/".join(["src"] + [f"d{int(d1[i])}", f"m{int(d2[i])}"][: int(depth[i]) % 3]
                         ) + f"/file_{f}.{lang}"
         commit = f"{int(h_c1[i]):016x}{int(h_c2[i]):016x}{int(h_c3[i]):016x}"[:40]

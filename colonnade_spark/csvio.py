@@ -26,6 +26,8 @@ parsed (CSV column pruning).
 
 from __future__ import annotations
 
+import os
+
 _CSV_OPTS = {"quote": '"', "escape": '"', "header": "false"}
 
 
@@ -59,17 +61,55 @@ def write_csv(df, path: str, *, headed: bool = True,
      .csv(path))
 
 
+def _true_header(path: str) -> list | None:
+    """The ACTUAL header row, parsed RFC-4180 driver-side from the first
+    CSV part file.  Spark renames duplicate header names ('a,a,b' →
+    a0,a1,b) BEFORE exposing them, which (a) makes the documented
+    duplicate-name aggregated error impossible to raise and (b) lets a
+    plan column literally named 'a0' bind silently to the wrong data.
+    Local/posix paths only; object-store URIs fall back to Spark's
+    (deduplicated) names — documented limitation."""
+    import csv as _csv
+    import glob as _glob
+
+    if "://" in path:
+        return None
+    cands = [path] if os.path.isfile(path) else (
+        sorted(_glob.glob(os.path.join(path, "part-*")))
+        or sorted(_glob.glob(os.path.join(path, "*.csv"))))
+    for p in cands:
+        try:
+            with open(p, newline="") as f:
+                return next(_csv.reader(f))
+        except (OSError, StopIteration):
+            continue
+    return None
+
+
+def _qcol(df, i: int):
+    """Column i of df as a Column, immune to dots/backticks in the name
+    (bare F.col parses dots as struct access; df[i] resolves via the name
+    too).  Backtick-quoted identifier per Spark's escaping rule."""
+    from pyspark.sql import functions as F
+
+    return F.col("`" + df.columns[i].replace("`", "``") + "`")
+
+
 def read_csv_headed(spark, path: str, plan, *, cast: dict | None = None,
                     multiline_cells: bool = False):
     """``decodeHeadedCsvUtf8``: bind the plan's columns by NAME against the
     file's header row — permuted ok, extras ignored, missing/duplicate
     names raise ONE aggregated error."""
-    from pyspark.sql import functions as F
-
     raw = _reader(spark, header="true",
                   multiLine=str(multiline_cells).lower()).csv(path)
-    pos = plan.resolve_positions(raw.columns)        # aggregated errors
-    out = raw.select(*[F.col(raw.columns[pos[s.name]]).alias(s.name)
+    header = _true_header(path)
+    names = header if (header is not None
+                       and len(header) == len(raw.columns)) else raw.columns
+    pos = plan.resolve_positions(names)              # aggregated errors
+    # bind by ORDINAL against Spark's column list (quoted — dotted header
+    # names must not be parsed as struct access); resolution used the
+    # FILE's actual header, so Spark's dedup-renames cannot mis-bind
+    out = raw.select(*[_qcol(raw, pos[s.name]).alias(s.name)
                        for s in plan.specs])
     return _apply_cast(out, cast)
 
@@ -87,7 +127,7 @@ def read_csv_headless(spark, path: str, plan, *, cast: dict | None = None,
         raise ValueError(
             f"headless CSV has {len(raw.columns)} columns; plan expects "
             f"{len(plan.specs)}")
-    out = raw.select(*[F.col(raw.columns[i]).alias(s.name)
+    out = raw.select(*[_qcol(raw, i).alias(s.name)
                        for i, s in enumerate(plan.specs)])
     return _apply_cast(out, cast)
 

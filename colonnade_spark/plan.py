@@ -82,12 +82,25 @@ class EncodePlan:
         return plan
 
     def __add__(self, other: "EncodePlan") -> "EncodePlan":
-        """Monoid append: column concatenation, schema union."""
+        """Monoid append: column concatenation, schema union.
+
+        Positional (headless) names on the RIGHT side are RENUMBERED to
+        continue after the left's columns — positional concatenation is
+        the whole point of the headless ``<>`` (Encode.hs:575-577), and
+        without renumbering two headless-built plans always collided on
+        ``_c0``.  Explicit names still collide loudly."""
+        import re as _re
+
+        n_left = len(self.specs)
+        renamed = tuple(
+            ColumnSpec(f"_c{n_left + i}", sp.expr, sp.codec, sp.post)
+            if _re.fullmatch(r"_c\d+", sp.name) else sp
+            for i, sp in enumerate(other.specs))
         names = {s.name for s in self.specs}
-        dups = [s.name for s in other.specs if s.name in names]
+        dups = [s.name for s in renamed if s.name in names]
         if dups:
             raise ValueError(f"duplicate columns on plan append: {dups}")
-        return replace(self, specs=self.specs + other.specs)
+        return replace(self, specs=self.specs + renamed)
 
     # -- per-column content transforms -------------------------------------
     def from_maybe(self, name: str, default: str) -> "EncodePlan":
@@ -111,10 +124,20 @@ class EncodePlan:
             name, lambda e: f"CASE WHEN {pred} THEN {value!r} ELSE {e} END")
 
     def map_header(self, fn) -> "EncodePlan":
-        """Transform header (column) names only."""
-        return replace(self, specs=tuple(
-            ColumnSpec(fn(s.name), s.expr, s.codec, s.post)
-            for s in self.specs))
+        """Transform header (column) names only.  The uniqueness invariant
+        headed() enforces must survive the rename (fn collapsing 'ID' and
+        'id' would otherwise mis-bind decode reattachment downstream)."""
+        new_specs = tuple(ColumnSpec(fn(s.name), s.expr, s.codec, s.post)
+                          for s in self.specs)
+        seen: set = set()
+        dups = set()
+        for sp in new_specs:
+            if sp.name in seen:
+                dups.add(sp.name)
+            seen.add(sp.name)
+        if dups:
+            raise ValueError(f"map_header collapsed names: {sorted(dups)}")
+        return replace(self, specs=new_specs)
 
     def post_encode(self, name: str, transform: str = "zlib") -> "EncodePlan":
         """Post-encode ``fmap`` (the content Functor,

@@ -426,6 +426,7 @@ def q_zone_decode_strings(spark, sf_dir):
     (parquet-style truncated smin/smax prune whole stripes), apply the exact
     residual predicate.  Oracle = the same filter in plain SQL — zone maps
     must be invisible to correctness."""
+    import os
     import tempfile
 
     from pyspark.sql import functions as F
@@ -438,7 +439,10 @@ def q_zone_decode_strings(spark, sf_dir):
             .select("doc_id", "lang", "text"))
     p = (plan().headed("doc_id").headed("lang").headed("text")
          .with_keys("doc_id").with_cluster("lang", "doc_id"))
-    wh = tempfile.mkdtemp(prefix="colonnade_zone_")
+    # fixed per-user path + overwrite, NOT mkdtemp: a fresh dir per
+    # invocation leaked the full encoded warehouse on every harness run
+    wh = os.path.join(tempfile.gettempdir(),
+                      f"colonnade_zone_query_{os.getuid()}")
     engine.encode_table(spark, docs, p, wh, n_buckets=2,
                         stripe_bytes=64 << 10, mode="overwrite",
                         input_token="zone_query")
@@ -673,6 +677,9 @@ SQL_LANG_ID = f"SELECT doc_id, lang, {_LANG_ID_CASE} AS lang_guess FROM document
 # same regex value both sides; Spark SQL string literals unescape
 # backslashes (like _TOKEN_EXPR above), DuckDB's do not
 _BPE_RE_SPARK = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+#: same pattern as a COLUMN literal (no SQL string-literal escape layer
+#: to feed — CLAUDE.md regex rule); single-level python escaping only
+_BPE_RE_SPARK_LIT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 _BPE_RE_DUCK = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
@@ -685,7 +692,8 @@ def q_token_count_bpe(spark, sf_dir):
 
     return (_read(spark, sf_dir, "documents")
             .select("doc_id",
-                    F.expr(f"size(regexp_extract_all(text, '{_BPE_RE_SPARK}', 0))")
+                    F.size(F.regexp_extract_all(
+                        F.col("text"), F.lit(_BPE_RE_SPARK_LIT), F.lit(0)))
                     .cast("bigint").alias("n_bpe_tokens"),
                     F.expr(_TOKEN_EXPR).cast("bigint").alias("n_ws_tokens")))
 
@@ -723,38 +731,56 @@ def q_doc_winnow(spark, sf_dir):
 _SM1, _SM2, _SM3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 _M64_SQL = 1 << 64
 
-SQL_WINNOW = f"""
-WITH b AS (
+def _byte_key_ctes(shingle: int) -> str:
+    """Shared oracle CTE chain ``b/bytes/raws/m1..m6``: UTF-8 bytes of
+    ``src.text`` via hex-pair parse, ``shingle``-byte little-endian rolling
+    keys (textops._shingle_keys), splitmix64 in UHUGEINT with AND-mask mod
+    2^64 (UHUGEINT %% is a 128-bit divide per row, ~80x slower).  Expects a
+    ``src(doc_id, text)`` CTE upstream; ends at ``m6(doc_id, ks)``.  One
+    derivation for the simhash and minhash oracles — fix byte parsing or
+    the mix here, not per-oracle."""
+    w = shingle
+    rolling = " + ".join("bs[p]" if j == 0 else f"(bs[p+{j}] << {8 * j})"
+                         for j in range(w))
+    mask = _M64_SQL - 1
+    return f"""b AS (
   SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
-  FROM documents),
-bytes AS (  -- UTF-8 byte values via hex-pair parse (no byte accessor in SQL)
+  FROM src),
+bytes AS (
   SELECT doc_id, len,
     list_transform(range(1, len + 1), i ->
       CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
          + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17
          AS UBIGINT)) AS bs
   FROM b),
-raws AS (  -- 5-byte little-endian rolling shingle keys (textops._shingle_keys)
-  SELECT doc_id, greatest(len - 4, 1) AS cnt,
-    CASE WHEN len >= 5 THEN
-      list_transform(range(1, len - 4 + 1), p ->
-        bs[p] + (bs[p+1] << 8) + (bs[p+2] << 16) + (bs[p+3] << 24) + (bs[p+4] << 32))
+raws AS (  -- {w}-byte little-endian rolling keys
+  SELECT doc_id,
+    CASE WHEN len >= {w} THEN
+      list_transform(range(1, len - {w - 1} + 1), p ->
+        {rolling})
     ELSE
       [coalesce(CAST(list_aggregate(
-         list_transform(range(1, least(len, 4) + 1), j -> bs[j] << CAST(8*(j-1) AS UBIGINT)),
+         list_transform(range(1, least(len, {w - 1}) + 1), j -> bs[j] << CAST(8*(j-1) AS UBIGINT)),
          'sum') AS UBIGINT), CAST(0 AS UBIGINT))]
     END AS raw
   FROM bytes),
-m1 AS (SELECT doc_id, cnt, list_transform(raw, x -> CAST((CAST(x AS UHUGEINT) + {_SM1}) % {_M64_SQL} AS UBIGINT)) AS ks FROM raws),
-m2 AS (SELECT doc_id, cnt, list_transform(ks, x -> xor(x, x >> 30)) AS ks FROM m1),
-m3 AS (SELECT doc_id, cnt, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM2}) % {_M64_SQL} AS UBIGINT)) AS ks FROM m2),
-m4 AS (SELECT doc_id, cnt, list_transform(ks, x -> xor(x, x >> 27)) AS ks FROM m3),
-m5 AS (SELECT doc_id, cnt, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM3}) % {_M64_SQL} AS UBIGINT)) AS ks FROM m4),
-m6 AS (SELECT doc_id, cnt, list_transform(ks, x -> xor(x, x >> 31)) AS ks FROM m5),
-picks AS (  -- window-8 minima, distinct (short docs: segment min)
+m1 AS (SELECT doc_id, list_transform(raw, x -> CAST((CAST(x AS UHUGEINT) + {_SM1}) & {mask} AS UBIGINT)) AS ks FROM raws),
+m2 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 30)) AS ks FROM m1),
+m3 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM2}) & {mask} AS UBIGINT)) AS ks FROM m2),
+m4 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 27)) AS ks FROM m3),
+m5 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM3}) & {mask} AS UBIGINT)) AS ks FROM m4),
+m6 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 31)) AS ks FROM m5),
+kr AS (SELECT doc_id, unnest(ks) AS k FROM m6)"""
+
+
+SQL_WINNOW = f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+{_byte_key_ctes(5)},
+picks AS (  -- window-8 minima, distinct (short docs: segment min);
+            -- cnt == length(ks): the m-chain preserves list length
   SELECT doc_id,
-    CASE WHEN cnt <= 8 THEN [list_min(ks)]
-    ELSE list_distinct(list_transform(range(1, cnt - 8 + 2), p ->
+    CASE WHEN length(ks) <= 8 THEN [list_min(ks)]
+    ELSE list_distinct(list_transform(range(1, length(ks) - 8 + 2), p ->
            list_min(ks[p : p + 7])))
     END AS pk
   FROM m6),
@@ -1052,46 +1078,6 @@ def q_simhash_neardup(spark, sf_dir):
             .orderBy("hamming"))
 
 
-def _byte_key_ctes(shingle: int) -> str:
-    """Shared oracle CTE chain ``b/bytes/raws/m1..m6``: UTF-8 bytes of
-    ``src.text`` via hex-pair parse, ``shingle``-byte little-endian rolling
-    keys (textops._shingle_keys), splitmix64 in UHUGEINT with AND-mask mod
-    2^64 (UHUGEINT %% is a 128-bit divide per row, ~80x slower).  Expects a
-    ``src(doc_id, text)`` CTE upstream; ends at ``m6(doc_id, ks)``.  One
-    derivation for the simhash and minhash oracles — fix byte parsing or
-    the mix here, not per-oracle."""
-    w = shingle
-    rolling = " + ".join("bs[p]" if j == 0 else f"(bs[p+{j}] << {8 * j})"
-                         for j in range(w))
-    mask = _M64_SQL - 1
-    return f"""b AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
-  FROM src),
-bytes AS (
-  SELECT doc_id, len,
-    list_transform(range(1, len + 1), i ->
-      CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) * 16
-         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 17
-         AS UBIGINT)) AS bs
-  FROM b),
-raws AS (  -- {w}-byte little-endian rolling keys
-  SELECT doc_id,
-    CASE WHEN len >= {w} THEN
-      list_transform(range(1, len - {w - 1} + 1), p ->
-        {rolling})
-    ELSE
-      [coalesce(CAST(list_aggregate(
-         list_transform(range(1, least(len, {w - 1}) + 1), j -> bs[j] << CAST(8*(j-1) AS UBIGINT)),
-         'sum') AS UBIGINT), CAST(0 AS UBIGINT))]
-    END AS raw
-  FROM bytes),
-m1 AS (SELECT doc_id, list_transform(raw, x -> CAST((CAST(x AS UHUGEINT) + {_SM1}) & {mask} AS UBIGINT)) AS ks FROM raws),
-m2 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 30)) AS ks FROM m1),
-m3 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM2}) & {mask} AS UBIGINT)) AS ks FROM m2),
-m4 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 27)) AS ks FROM m3),
-m5 AS (SELECT doc_id, list_transform(ks, x -> CAST((CAST(x AS UHUGEINT) * {_SM3}) & {mask} AS UBIGINT)) AS ks FROM m4),
-m6 AS (SELECT doc_id, list_transform(ks, x -> xor(x, x >> 31)) AS ks FROM m5),
-kr AS (SELECT doc_id, unnest(ks) AS k FROM m6)"""
 
 
 def _sql_simhash_neardup() -> str:
@@ -2201,7 +2187,6 @@ def _shipped(fn):
 
 def registry() -> dict:
     """name -> (fn, oracle_sql_or_None)"""
-    doc_all = ["doc_id", "text", "lang", "source", "n_chars"]
     return {name: (_shipped(fn), sql) for name, (fn, sql) in _raw_registry().items()}
 
 

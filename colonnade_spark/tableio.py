@@ -166,6 +166,11 @@ def expire_snapshots(uri: str, keep_last: int = 1) -> list:
         raise ValueError("expire_snapshots() operates on snap: tables; "
                          "iceberg: tables use the catalog's own "
                          "expireSnapshots procedure")
+    if keep_last < 1:
+        # log[-0:] is the WHOLE log: keep_last=0 would silently no-op
+        # while the caller asked to drop all history
+        raise ValueError("keep_last must be >= 1 (a table always keeps "
+                         "its current snapshot)")
     log = _read_log(loc)
     if len(log) <= keep_last:
         return []

@@ -79,3 +79,34 @@ def test_headless_too_few_columns_loud(spark, tmp_path):
     csvio.write_csv(df, path, headed=False)
     with pytest.raises(ValueError, match="plan expects"):
         csvio.read_csv_headless(spark, path, _plan())
+
+
+def test_headed_duplicate_header_names_raise_aggregated(spark, tmp_path):
+    """Regression (review): Spark renames duplicate header names (a,a →
+    a0,a1) before exposing them, which silently defeated the documented
+    duplicate-name error; the reader now resolves against the FILE's
+    actual header row."""
+    import pytest
+
+    from colonnade_spark.plan import plan
+
+    path = str(tmp_path / "dup")
+    df = spark.createDataFrame([("1", "2", "3")], "c1 string, c2 string, c3 string")
+    df.toDF("a", "a", "b").write.option("header", "true").csv(path)
+    p = plan().headed("a").headed("b")
+    with pytest.raises(ValueError, match="duplicate column: 'a'"):
+        csvio.read_csv_headed(spark, path, p)
+
+
+def test_headed_dotted_header_names_bind(spark, tmp_path):
+    """Regression (review): F.col('user.name') parses as struct access —
+    binding is now by ordinal, so dotted header names work."""
+    from colonnade_spark.plan import plan
+
+    path = str(tmp_path / "dots")
+    df = spark.createDataFrame([("u1", "x1")], "c1 string, c2 string")
+    df.toDF("user.name", "x").write.option("header", "true").csv(path)
+    p = plan().headed("user.name").headed("x")
+    out = csvio.read_csv_headed(spark, path, p)
+    row = out.collect()[0]
+    assert row["user.name"] == "u1" and row["x"] == "x1"

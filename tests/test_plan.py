@@ -111,3 +111,23 @@ def test_post_encode_combinator_roundtrip(spark):
     # the transform actually ran: lineage bytes_out far below plain bytes
     lin = {r["column"]: r for r in engine.lineage_table(spark, wh).collect()}
     assert lin["body"]["bytes_out"] < 0.2 * lin["body"]["bytes_in"]
+
+
+def test_headless_append_renumbers_positions():
+    """Regression (review): two headless-built plans always collided on
+    _c0; append now renumbers positional names to continue the left's."""
+    from colonnade_spark.plan import plan
+
+    p = plan().headless_col("a") + plan().headless_col("b").headless_col("c")
+    assert [s.name for s in p.specs] == ["_c0", "_c1", "_c2"]
+    assert [s.expr for s in p.specs] == ["a", "b", "c"]
+
+
+def test_map_header_rejects_collapsed_names():
+    import pytest
+
+    from colonnade_spark.plan import plan
+
+    p = plan().headed("ID").headed("id")
+    with pytest.raises(ValueError, match="collapsed"):
+        p.map_header(str.lower)
