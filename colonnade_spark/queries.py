@@ -674,11 +674,9 @@ def q_lang_id_ngram(spark, sf_dir):
 SQL_LANG_ID = f"SELECT doc_id, lang, {_LANG_ID_CASE} AS lang_guess FROM documents"
 
 
-# same regex value both sides; Spark SQL string literals unescape
-# backslashes (like _TOKEN_EXPR above), DuckDB's do not
-_BPE_RE_SPARK = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
-#: same pattern as a COLUMN literal (no SQL string-literal escape layer
-#: to feed — CLAUDE.md regex rule); single-level python escaping only
+#: BPE-ish pre-tokenizer pattern, as a COLUMN literal on the Spark side
+#: (no SQL string-literal escape layer to feed — CLAUDE.md regex rule);
+#: single-level python escaping only, and the DuckDB form is identical
 _BPE_RE_SPARK_LIT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 _BPE_RE_DUCK = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
