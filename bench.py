@@ -56,6 +56,18 @@ def ensure_corpus(spark, n_files: int) -> str:
     return path
 
 
+def _throttle_probe_ms() -> float:
+    """Fixed-work numpy probe (~70-90 ms on a quiet machine): this host
+    throttles in multi-minute windows that do NOT appear as steal jiffies
+    (BASELINE.md), so every measurement records its own window quality —
+    a reading ≳2x the quiet baseline marks a degraded window."""
+    a = np.random.RandomState(0).rand(3_000_000)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        (a * a).sum()
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def encode_worker(cores: int, corpus_dir: str, out_json: str,
                   attempts: int = 2, verify: bool = True) -> None:
     import shutil
@@ -88,9 +100,11 @@ def encode_worker(cores: int, corpus_dir: str, out_json: str,
                 while fh.read(1 << 24):
                     pass
     wall, walls = None, []
+    probes = []
     manifest = best_manifest = None
     for _attempt in range(max(attempts, 1)):
         shutil.rmtree(wh, ignore_errors=True)
+        probes.append(_throttle_probe_ms())
         t0 = time.time()
         # two-phase staged path by default: on this single-disk host the
         # per-bucket python tasks read staged parquet DIRECTLY (pyarrow, no
@@ -112,6 +126,7 @@ def encode_worker(cores: int, corpus_dir: str, out_json: str,
             wall, best_manifest = attempt_wall, manifest
     out = {"cores": cores, "encode_sec": round(wall, 3),
            "encode_sec_attempts": walls,
+           "throttle_probe_ms": probes,
            "content_bytes": int(content_bytes),
            "gbps": round(content_bytes / wall / 1e9, 4),
            "stage_sec": best_manifest["stage_sec"],
@@ -229,6 +244,7 @@ def main() -> None:
         }
         for c, r in sorted(results.items()):
             encode[f"gbps_local{c}"] = r["gbps"]
+            encode[f"throttle_probe_ms_local{c}"] = r.get("throttle_probe_ms")
             encode[f"encode_sec_local{c}"] = r["encode_sec"]
             encode[f"encode_attempts_local{c}"] = r["encode_sec_attempts"]
             encode[f"stage_sec_local{c}"] = r["stage_sec"]
