@@ -83,8 +83,17 @@ def encode_block(arr: pa.Array, codec: str = "auto", exclude=(),
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    # config validation BEFORE any early return: a bogus codec/post name
+    # must raise on EVERY batch, not only non-empty ones (otherwise the
+    # error is partitioning-dependent — whether it surfaces depends on
+    # which worker sees an empty tail batch)
+    if codec != "auto" and codec not in BY_NAME:
+        raise BlockError(f"unknown codec {codec!r}; have {sorted(BY_NAME)}")
+    if post is not None and post != "zlib":
+        raise BlockError(f"unknown post-encode transform {post!r}")
     if _is_supported_list(arr.type):
-        return _encode_list_block(arr, codec=codec, ctx=ctx, post=post)
+        return _encode_list_block(arr, codec=codec, ctx=ctx, post=post,
+                                  exclude=exclude)
     col, validity = from_arrow(arr)
     header: dict = {"n": col.n, "k": col.kind, "t": col.arrow_type}
     if validity is not None:
@@ -179,15 +188,16 @@ def _is_supported_list(t: pa.DataType) -> bool:
 
 def _encode_list_block(arr: pa.Array, codec: str = "auto",
                        ctx: EncodeContext | None = None,
-                       post: str | None = None) -> bytes:
+                       post: str | None = None, exclude=()) -> bytes:
     import pyarrow.compute as pc
 
     lens = pc.fill_null(pc.list_value_length(arr), 0)
     lens64 = pa.array(np.asarray(lens, dtype=np.int64))
     child = pc.list_flatten(arr)            # values of non-null slots only
     sub_ctx = ctx if ctx is not None else EncodeContext()
-    child_blk = encode_block(child, codec=codec, ctx=sub_ctx)
-    lens_blk = encode_block(lens64)
+    child_blk = encode_block(child, codec=codec, ctx=sub_ctx,
+                             exclude=exclude)
+    lens_blk = encode_block(lens64, exclude=exclude)
     payload = b"".join([len(child_blk).to_bytes(4, "little"),
                         child_blk, lens_blk])
     header: dict = {"n": len(arr), "k": "list",

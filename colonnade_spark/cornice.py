@@ -66,18 +66,7 @@ class Cornice:
 
     def annotate(self) -> "AnnotatedCornice":
         """Structural annotation: column count (colspan) per node."""
-        kids, total = [], 0
-        for ch in self.children:
-            if isinstance(ch, Cornice):
-                a = ch.annotate()
-            else:
-                a = AnnotatedCornice(ch if isinstance(ch, Cornice) else None,
-                                     label=None, plan=ch,
-                                     size_=len(ch.specs), children=())
-            kids.append(a)
-            total += a.size_
-        return AnnotatedCornice(self, label=self.label, plan=None,
-                                size_=total, children=tuple(kids))
+        return self._annotate_flat([1] * len(self.discard().specs))
 
     def annotate_finely(self, df) -> "AnnotatedCornice":
         """Data-driven annotation: per-node total max display width, via one
@@ -89,21 +78,36 @@ class Cornice:
         aggs = [F.max(F.length(F.col(c).cast("string"))).alias(c)
                 for c in flat.column_names]
         row = proj.agg(*aggs).collect()[0].asDict()
-        widths = {c: int(row[c] or 0) for c in flat.column_names}
-        return self._annotate_with(widths)
+        # POSITIONAL mapping back to the leaves: discard() renames
+        # positional _cN columns on append, so a name-keyed lookup against
+        # the leaves' ORIGINAL names silently mis-assigned sibling
+        # headless plans' widths (review finding)
+        return self._annotate_flat(
+            [int(row[c] or 0) for c in flat.column_names])
 
-    def _annotate_with(self, widths: dict) -> "AnnotatedCornice":
-        kids, total = [], 0
-        for ch in self.children:
-            if isinstance(ch, Cornice):
-                a = ch._annotate_with(widths)
-            else:
-                s = sum(widths.get(c, 0) for c in ch.column_names)
-                a = AnnotatedCornice(None, label=None, plan=ch, size_=s, children=())
-            kids.append(a)
-            total += a.size_
-        return AnnotatedCornice(self, label=self.label, plan=None,
-                                size_=total, children=tuple(kids))
+    def _annotate_flat(self, values: list) -> "AnnotatedCornice":
+        """Annotate with one integer per flat column, consumed in discard()
+        leaf order; each node's size_ is the sum over its leaf columns and
+        leaves keep their per-column values (``Sized``, Encode.hs:288-299)."""
+        it = iter(values)
+
+        def build(node):
+            kids, total = [], 0
+            for ch in node.children:
+                if isinstance(ch, Cornice):
+                    a = build(ch)
+                else:
+                    cs = tuple(next(it) for _ in ch.specs)
+                    a = AnnotatedCornice(None, label=None, plan=ch,
+                                         size_=sum(cs), children=(),
+                                         col_sizes=cs, n_cols=len(ch.specs))
+                kids.append(a)
+                total += a.size_
+            return AnnotatedCornice(node, label=node.label, plan=None,
+                                    size_=total, children=tuple(kids),
+                                    n_cols=sum(k.n_cols for k in kids))
+
+        return build(self)
 
     # -- internals -----------------------------------------------------------
     def _leaf_plans(self):
@@ -129,6 +133,13 @@ class AnnotatedCornice:
     plan: Optional[EncodePlan]
     size_: int
     children: tuple
+    #: leaf nodes: one size per column (the reference keeps per-column
+    #: ``Sized`` values, Encode.hs:288-299 — uncap must not average them)
+    col_sizes: tuple = ()
+    #: structural column count under this node (independent of the
+    #: annotation values — distinguishes "all columns zero-width" from
+    #: "no columns at all")
+    n_cols: int = 0
 
     def size(self) -> int:
         """O(1) annotation read (Encode.hs:402-406)."""
@@ -136,10 +147,14 @@ class AnnotatedCornice:
 
     def uncap(self) -> list:
         """Flatten to [(column_name, size)] — the ``Sized`` columns
-        (Encode.hs:288-299)."""
+        (Encode.hs:288-299), each column keeping ITS OWN size (the old
+        total//n averaging hid genuinely zero-width columns behind wide
+        siblings — review finding)."""
         if self.plan is not None:
-            per = self.size_ // max(len(self.plan.specs), 1)
-            return [(c, per) for c in self.plan.column_names]
+            cs = self.col_sizes or tuple(
+                self.size_ // max(len(self.plan.specs), 1)
+                for _ in self.plan.specs)
+            return list(zip(self.plan.column_names, cs))
         out = []
         for ch in self.children:
             out.extend(ch.uncap())
@@ -150,7 +165,11 @@ class AnnotatedCornice:
         (the ``headersMonoidal`` shape, Encode.hs:414-446)."""
         rows, frontier = [], [self]
         while frontier:
-            row = [(n.label, n.size_) for n in frontier if n.size_ > 0]
+            # zero-WIDTH nodes stay IN the row (they render hidden, not
+            # dropped — the setColspanOrHide contract preserves positional
+            # structure); structurally EMPTY nodes (no columns at all,
+            # e.g. the ToEmptyCornice mempty) contribute no slot and drop
+            row = [(n.label, n.size_) for n in frontier if n.n_cols > 0]
             if any(lbl is not None for lbl, _ in row):
                 rows.append(row)
             nxt = []

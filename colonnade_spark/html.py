@@ -96,13 +96,18 @@ def html_capped(cornice, df, limit: int = 20, widths: dict | None = None,
     ``cell_attrs`` is the per-cell attribute hook (the blaze ``Cell`` of
     Blaze/Colonnade.hs:263-266 — attributes applied to the wrapping
     ``<td>``): a callable ``(column_name, raw_value) -> str | None``."""
-    ann = cornice.annotate()
     flat = cornice.discard()
     proj = flat.project(df).select(*flat.column_names)
     widths = widths or {}
     fascia = fascia or []
-    hidden = {i for i, c in enumerate(flat.column_names)
-              if widths.get(c, 1) < 1}
+    vis = [1 if widths.get(c, 1) >= 1 else 0 for c in flat.column_names]
+    # tier colspans count VISIBLE columns (setColspanOrHide keys off the
+    # annotated size, Lucid/Colonnade.hs:228-231): hiding a leaf column
+    # must shrink its ancestors' spans, and a group whose columns are all
+    # hidden renders display:none itself — the structural count would
+    # leave tier rows wider than the visible body (review finding)
+    ann = cornice._annotate_flat(vis)
+    hidden = {i for i, v in enumerate(vis) if v < 1}
 
     attrs = f" {table_attrs}" if table_attrs else ""
     lines = [f"<table{attrs}>", "    <thead>"]

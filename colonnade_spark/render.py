@@ -12,7 +12,6 @@ from __future__ import annotations
 
 
 def ascii_table(df, limit: int = 20) -> str:
-    from pyspark.sql import functions as F
 
     cols = df.columns
     capped = df.limit(limit)

@@ -185,3 +185,53 @@ def test_compact_html_printers_golden():
     # mismatched nesting is loud, matching the Haskell message format
     out = remove_whitespace_after_tag("td", "<tr><td></tr>")
     assert out.startswith("closing tag <tr> did not match opening tag <td>")
+
+
+def test_uncap_keeps_per_column_sizes(spark):
+    """Regression (review): uncap() averaged a plan's total width across
+    its columns; the reference keeps per-column Sized values
+    (Encode.hs:288-299) — a zero-width column must report 0 even next to
+    a wide sibling."""
+    from colonnade_spark.cornice import cap
+    from colonnade_spark.plan import plan
+
+    df = spark.createDataFrame([("0123456789", "")] * 3,
+                               "a string, b string")
+    cor = cap("G", plan().headed("a").headed("b"))
+    sizes = dict(cor.annotate_finely(df).uncap())
+    assert sizes == {"a": 10, "b": 0}
+
+
+def test_annotate_finely_headless_siblings_get_own_widths(spark):
+    """Regression (review): sibling headless plans both name their column
+    _c0; the width lookup was name-keyed against the ORIGINAL names, so
+    group B silently got group A's width.  Mapping is positional now."""
+    from colonnade_spark.cornice import cap
+    from colonnade_spark.plan import plan
+
+    df = spark.createDataFrame([("aaaa", "bbbbbbbb")] * 2,
+                               "x string, y string")
+    cor = cap("A", plan().headless_col("x")) + cap("B", plan().headless_col("y"))
+    ann = cor.annotate_finely(df)
+    spans = {lbl: n for lbl, n in ann.header_rows()[0]}
+    assert spans == {"A": 4, "B": 8}
+
+
+def test_html_capped_hides_groups_and_shrinks_spans(spark):
+    """Regression (review): hiding a column via widths must shrink its
+    ancestors' tier colspans, and a group whose columns are ALL hidden
+    renders display:none itself (setColspanOrHide keys off the annotated
+    size, Lucid/Colonnade.hs:228-231)."""
+    from colonnade_spark.cornice import cap, recap
+    from colonnade_spark.html import html_capped
+    from colonnade_spark.plan import plan
+
+    df = spark.createDataFrame([("1", "2", "3")] * 2,
+                               "a string, b string, c string")
+    cor = recap("top",
+                cap("left", plan().headed("a").headed("b")),
+                cap("right", plan().headed("c")))
+    out = html_capped(cor, df, widths={"b": 0, "c": 0})
+    assert '<th colspan="1">top</th>' in out          # 3 cols, 2 hidden
+    assert '<th colspan="1">left</th>' in out         # b hidden
+    assert '<th style="display:none;">right</th>' in out  # all hidden
