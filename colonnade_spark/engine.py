@@ -271,17 +271,64 @@ def _pin_arrow_threads() -> None:
         pass
 
 
-def _encode_bucket(bucket: int, staged_dir: str, warehouse: str,
-                   plan_json: str, stripe_bytes: int,
-                   fingerprint: str = "") -> dict:
-    """One checkpointable unit of work: encode every stripe of one bucket
-    (staged path: the bucket's rows come from its staged parquet dir)."""
+def _iter_bucket_runs(batches, cols):
+    """Split a stream of arrow batches sorted by ``__bucket`` into
+    ``(bucket_id, sub_batch)`` pairs at bucket transitions.  A bucket never
+    splits across shuffle partitions, so grouping the pairs with
+    ``itertools.groupby`` reassembles each bucket's full row sequence.
+    Shared by the fused (shuffle arrow stream) and staged-v2 (per-partition
+    parquet file) readers so their run semantics cannot drift apart."""
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        vals = np.asarray(b.column("__bucket"))
+        cut = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+        bounds = [0, *cut.tolist(), len(vals)]
+        data = b.select(cols)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            yield int(vals[lo]), data.slice(lo, hi - lo)
+
+
+def _encode_staged_file(path: str, warehouse: str, plan_json: str,
+                        stripe_bytes: int, fingerprint: str = "",
+                        skip: frozenset = frozenset()) -> tuple:
+    """One task of the staged-v2 path: encode every bucket run inside ONE
+    staged shuffle-partition parquet file (rows sorted by ``__bucket``
+    first, so each bucket is one contiguous run; several bucket ids can
+    share a file — pmod(hash(id), n) is not the identity — but an id never
+    splits across files).  ``skip`` holds already-checkpointed bucket ids
+    (resume): their row groups are pruned via parquet ``__bucket`` min/max
+    stats before any data bytes are read.  Returns the folded stats tuple
+    for the buckets encoded here."""
+    import itertools
+
     _pin_arrow_threads()
     plan = EncodePlan.from_json(plan_json)
-    paths = sorted(glob.glob(os.path.join(staged_dir, f"__bucket={bucket}", "*.parquet")))
-    stripes = _stripe_iter(paths, plan.column_names, stripe_bytes)
-    return _encode_bucket_core(bucket, stripes, warehouse, plan,
-                               stripe_bytes, fingerprint)
+    cols = list(plan.column_names)
+    pf = pq.ParquetFile(path)
+    col_idx = {c.name: i for i, c in enumerate(pf.schema_arrow)}["__bucket"]
+    keep_rgs = []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(col_idx).statistics
+        if st is None or st.min is None or st.max is None \
+                or (st.max - st.min) > 100_000:
+            keep_rgs.append(rg)  # no/implausible stats → cannot prune
+        elif any(b not in skip for b in range(int(st.min), int(st.max) + 1)):
+            keep_rgs.append(rg)
+    stats = _STATS_ZERO
+    if not keep_rgs:
+        return stats
+    batches = pf.iter_batches(batch_size=8192, columns=["__bucket"] + cols,
+                              row_groups=keep_rgs)
+    for bucket, grp in itertools.groupby(_iter_bucket_runs(batches, cols),
+                                         key=lambda t: t[0]):
+        if bucket in skip:
+            continue
+        stripes = _stripe_iter_batches((s for _, s in grp), stripe_bytes)
+        m = _encode_bucket_core(bucket, stripes, warehouse, plan,
+                                stripe_bytes, fingerprint)
+        stats = _stats_add(stats, _marker_stats(m))
+    return stats
 
 
 def _encode_bucket_core(bucket: int, stripes, warehouse: str,
@@ -532,7 +579,11 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
     need_stage = True
     if mode == "resume" and os.path.exists(staged_marker):
         with open(staged_marker) as f:
-            need_stage = json.load(f).get("fingerprint") != fingerprint
+            sm = json.load(f)
+        # layout 2 = flat per-shuffle-partition files; an older dynamic-
+        # partitionBy staging (no layout tag) must be rebuilt, not reused
+        need_stage = (sm.get("fingerprint") != fingerprint
+                      or sm.get("layout") != 2)
     if need_stage:
         # staging (re)built → any existing markers/blocks describe OLD
         # staged data; invalidate them so resume cannot trust stale state
@@ -548,19 +599,24 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
         # small inputs but a wash-to-loss at bench scale, where staging is
         # bound by the single shared disk and +12% scratch bytes cost more
         # than the cheaper compressor saves.
-        # sort key MUST lead with __bucket: the dynamic-partitionBy writer
-        # requires its input sorted by the partition column and silently
-        # ADDS a sort(__bucket) when it is not — which destroys the
-        # clustering order inside each bucket (measured: ~8% worse
-        # compressed ratio).  Leading with __bucket makes the existing
-        # order satisfy the writer's requirement, so it is preserved.
+        # staged-v2 layout: a PLAIN parquet write — one file per shuffle
+        # partition with __bucket kept as a leading sort column — instead
+        # of dynamic partitionBy.  The dynamic writer costs a per-row
+        # partition dispatch, one directory + file handle per bucket
+        # (O(n_buckets) filesystem metadata, ~4M dirs at scale), and a
+        # hidden sort(partition_col) whenever the input order doesn't lead
+        # with it.  Here each task streams straight into a single file;
+        # the sort still leads with __bucket so each bucket is one
+        # contiguous run that the per-file encode task re-splits (same
+        # run-grouping as the fused path), and the within-bucket row order
+        # — hence every stripe cut and block byte — is unchanged.
         (bucketed.repartition(n_buckets, F.col("__bucket"))
                  .sortWithinPartitions("__bucket", *order)
-                 .write.mode("overwrite").partitionBy("__bucket")
+                 .write.mode("overwrite")
                  .option("compression", "zstd")
                  .parquet(staged_dir))
         with open(staged_marker, "w") as f:
-            json.dump({"fingerprint": fingerprint}, f)
+            json.dump({"fingerprint": fingerprint, "layout": 2}, f)
 
     sc = spark.sparkContext
 
@@ -568,37 +624,38 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
         return sc.parallelize(items, max(1, min(len(items), 4 * int(
             sc.defaultParallelism))))
 
-    all_buckets = sorted(int(p.split("=")[-1])
-                         for p in glob.glob(os.path.join(staged_dir, "__bucket=*")))
+    # the encode unit is one staged shuffle-partition FILE (staged-v2):
+    # the driver does ONE flat directory listing (n_partitions names, not
+    # n_buckets dynamic-partition dirs); per-file sizes for LPT scheduling
+    # come back from a distributed stat, only (name, size) pairs cross.
     done: set = set()
     resumed_stats = _STATS_ZERO
     if mode == "resume":
         done, resumed_stats = _scan_markers(sc, warehouse, fingerprint)
-    pending = [b for b in all_buckets if b not in done]
-    # longest-first scheduling: Spark runs partitions in order, so putting the
-    # biggest buckets first removes end-of-job stragglers (the classic LPT
-    # heuristic) — worth ~5-10% wall at high parallelism.  Sizes come from a
-    # DISTRIBUTED listing of the staged bucket dirs (not a per-bucket serial
-    # driver glob); only (bucket, size) ints cross back.
-    if pending:
-        def _bucket_size(b, _d=staged_dir):
-            return (b, sum(os.path.getsize(p) for p in glob.glob(
-                os.path.join(_d, f"__bucket={b}", "*.parquet"))))
+    part_files = sorted(f for f in os.listdir(staged_dir)
+                        if f.startswith("part-") and f.endswith(".parquet"))
+    if part_files:
+        def _fsize(name, _d=staged_dir):
+            return (name, os.path.getsize(os.path.join(_d, name)))
 
-        size_of = dict(_par(pending).map(_bucket_size).collect())
-        pending.sort(key=lambda b: (-size_of[b], b))
+        size_of = dict(_par(part_files).map(_fsize).collect())
+        # longest-first scheduling: Spark runs partitions in order, so the
+        # biggest files go first to remove end-of-job stragglers (LPT)
+        part_files.sort(key=lambda f: (-size_of[f], f))
 
     t_stage = time.time() - t_stage0
     t_enc0 = time.time()
     plan_json = plan.to_json()
     encoded_stats = _STATS_ZERO
-    if pending:
-        rdd = sc.parallelize(pending, len(pending))
-        # markers are durably written per bucket by the task itself; the
-        # driver folds ONE stats tuple instead of collecting n_buckets dicts
-        encoded_stats = (rdd.map(lambda b: _encode_bucket(
-            b, staged_dir, warehouse, plan_json, stripe_bytes,
-            fingerprint)).map(_marker_stats).reduce(_stats_add))
+    if part_files:
+        skip = frozenset(done)
+        sdir = staged_dir
+        rdd = sc.parallelize(part_files, len(part_files))
+        # markers are durably written per bucket by the task itself; each
+        # task folds its buckets' stats and the driver folds ONE tuple
+        encoded_stats = (rdd.map(lambda f: _encode_staged_file(
+            os.path.join(sdir, f), warehouse, plan_json, stripe_bytes,
+            fingerprint, skip)).reduce(_stats_add))
 
     # corpus totals fold in resumed buckets' marker stats, so a post-resume
     # manifest reports the WHOLE warehouse, not just this run's increment
@@ -687,18 +744,8 @@ def _encode_fused(spark, projected, plan: EncodePlan, warehouse: str, *,
                                 ("bytes_out", pa.int64()),
                                 ("wall_s", pa.float64())])
 
-        def runs():
-            for b in batches:
-                if b.num_rows == 0:
-                    continue
-                vals = np.asarray(b.column("__bucket"))
-                cut = np.flatnonzero(vals[1:] != vals[:-1]) + 1
-                bounds = [0, *cut.tolist(), len(vals)]
-                data = b.select(cols)
-                for lo, hi in zip(bounds[:-1], bounds[1:]):
-                    yield int(vals[lo]), data.slice(lo, hi - lo)
-
-        for bucket, grp in itertools.groupby(runs(), key=lambda t: t[0]):
+        for bucket, grp in itertools.groupby(
+                _iter_bucket_runs(batches, cols), key=lambda t: t[0]):
             stripes = _stripe_iter_batches((s for _, s in grp), sb)
             m = _encode_bucket_core(bucket, stripes, wh, p, sb, fp)
             yield pa.RecordBatch.from_pydict(

@@ -2188,11 +2188,39 @@ def registry() -> dict:
     return {name: (_shipped(fn), sql) for name, (fn, sql) in _raw_registry().items()}
 
 
+# The driver's correctness gate reads the FIRST 50 registry entries only.
+# Round 4 left 12 queries past the cap (4 of them never driver-checked), so
+# the registry is reordered each round: entries named here come FIRST, the
+# rest keep their declaration order, and entries in _DEFERRED_PAST_GATE sink
+# to the back.  Deferred this round: 12 of the 16 rt_* codec round-trips —
+# each also has pytest + property coverage and 4 representative rt_* rows
+# (auto-selection e2e, giant-cell fragments, list blocks, geolite cities)
+# stay inside the gate.
+_GATE_FRONT = [
+    "events_quantiles", "events_json_props", "tpch_shipping_priority",
+    "tpch_pricing", "tpch_rollup", "tpch_local_volume", "dataset_split",
+    "doc_chunk_windows", "dataset_mix_sample", "decontaminate",
+    "pack_sequences", "top_terms",
+]
+_DEFERRED_PAST_GATE = [
+    "rt_plain_text", "rt_fsst_text", "rt_dict_lang", "rt_rle_source",
+    "rt_forbp_ints", "rt_delta_ints", "rt_float_lineitem", "rt_post_zlib",
+    "rt_alpha_hex", "rt_fcode_sorted", "rt_geolite_blocks", "rt_events_ts",
+]
+
+
+def _rotate_for_gate(reg: dict) -> dict:
+    front = {k: reg[k] for k in _GATE_FRONT}
+    back = {k: reg[k] for k in _DEFERRED_PAST_GATE}
+    mid = {k: v for k, v in reg.items() if k not in front and k not in back}
+    return {**front, **mid, **back}
+
+
 def _raw_registry() -> dict:
     from .corpus import SQL_GEOLITE_CITIES_GEN
 
     doc_all = ["doc_id", "text", "lang", "source", "n_chars"]
-    return {
+    return _rotate_for_gate({
         # codec round-trips (isomorphism oracle per codec)
         "rt_auto_documents": (_roundtrip("documents", doc_all, {}),
                               _identity_sql(doc_all)),
@@ -2315,4 +2343,4 @@ def _raw_registry() -> dict:
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "pack_sequences": (q_pack_sequences, SQL_PACK),
         "top_terms": (q_top_terms, SQL_TOP_TERMS),
-    }
+    })
