@@ -165,6 +165,50 @@ int64_t decode_stream(const uint8_t *stream, int64_t stream_len,
     out_offsets[n_strings] = out;
     return out;
 }
+
+/* exact (key,len) gram counter for the table build: open-addressing
+   insert-or-increment over the candidate stream, then compact occupied
+   slots.  Output order is hash-slot order — callers MUST select symbols
+   with an order-independent total sort so this path and the numpy
+   fallback (sorted-group order) build identical tables.  tab_* are
+   caller-zeroed arrays of tab_size (a power of two >= 2n); cnt==0 marks
+   an empty slot (a real gram always counts >= 1). */
+int64_t count_grams(const uint64_t *keys, const int64_t *lens, int64_t n,
+                    uint64_t *tab_key, int64_t *tab_len, int64_t *tab_cnt,
+                    int64_t tab_size,
+                    uint64_t *out_key, int64_t *out_len, int64_t *out_cnt)
+{
+    const uint64_t mask = (uint64_t)tab_size - 1;
+    for (int64_t j = 0; j < n; j++) {
+        const uint64_t k = keys[j];
+        const int64_t l = lens[j];
+        uint64_t h = (k * 0x9E3779B97F4A7C15ull) ^
+                     ((uint64_t)l * 0xFF51AFD7ED558CCDull);
+        h ^= h >> 33;
+        uint64_t i = h & mask;
+        for (;;) {
+            if (tab_cnt[i] == 0) {
+                tab_key[i] = k; tab_len[i] = l; tab_cnt[i] = 1;
+                break;
+            }
+            if (tab_key[i] == k && tab_len[i] == l) {
+                tab_cnt[i]++;
+                break;
+            }
+            i = (i + 1) & mask;
+        }
+    }
+    int64_t m = 0;
+    for (int64_t i = 0; i < tab_size; i++) {
+        if (tab_cnt[i] != 0) {
+            out_key[m] = tab_key[i];
+            out_len[m] = tab_len[i];
+            out_cnt[m] = tab_cnt[i];
+            m++;
+        }
+    }
+    return m;
+}
 """
 
 _HASH_SHIFT_CHECK = 32 - 12  # must match fsst._HASH_BITS (shift 20 in C)
@@ -211,6 +255,11 @@ def _build() -> "ctypes.CDLL | None":
         p(ctypes.c_uint8), p(i64), p(i64),
         p(ctypes.c_uint8), p(i64)]
     dll.decode_stream.restype = i64
+    dll.count_grams.argtypes = [
+        p(ctypes.c_uint64), p(i64), i64,
+        p(ctypes.c_uint64), p(i64), p(i64), i64,
+        p(ctypes.c_uint64), p(i64), p(i64)]
+    dll.count_grams.restype = i64
     return dll
 
 
@@ -304,3 +353,40 @@ def decode_stream(stream, counts, sym_flat, sym_off, sym_len,
         ptr(counts, i64), i64(len(counts)),
         ptr(sym_flat, ctypes.c_uint8), ptr(sym_off, i64), ptr(sym_len, i64),
         ptr(out_buf, ctypes.c_uint8), ptr(out_offsets, i64)))
+
+
+def count_grams(keys, lens):
+    """Exact (key, len) -> count via the C open-addressing counter.
+
+    Returns ``(uniq_key, uniq_len, count)`` in HASH-SLOT order (callers
+    must not depend on it — fsst.build_symbol_table re-sorts with a total
+    order), or None when the kernel is unavailable (numpy grouping path).
+    """
+    import numpy as np
+
+    dll = get_lib()
+    if dll is None or keys.size == 0:
+        return None
+    n = keys.size
+    tab_size = 1 << max(int(2 * n - 1).bit_length(), 4)
+    # only cnt marks occupancy (cnt==0 = empty): key/len slots are written
+    # before they are ever compared, so they can stay uninitialized
+    tab_key = np.empty(tab_size, dtype=np.uint64)
+    tab_len = np.empty(tab_size, dtype=np.int64)
+    tab_cnt = np.zeros(tab_size, dtype=np.int64)
+    out_key = np.empty(n, dtype=np.uint64)
+    out_len = np.empty(n, dtype=np.int64)
+    out_cnt = np.empty(n, dtype=np.int64)
+    cp = ctypes.POINTER
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(cp(ct))
+
+    i64 = ctypes.c_int64
+    m = int(dll.count_grams(
+        ptr(np.ascontiguousarray(keys), ctypes.c_uint64),
+        ptr(np.ascontiguousarray(lens), i64), i64(n),
+        ptr(tab_key, ctypes.c_uint64), ptr(tab_len, i64), ptr(tab_cnt, i64),
+        i64(tab_size),
+        ptr(out_key, ctypes.c_uint64), ptr(out_len, i64), ptr(out_cnt, i64)))
+    return out_key[:m], out_len[:m], out_cnt[:m]

@@ -41,7 +41,10 @@ MAX_SYMS = 255
 MAX_LEN = 8
 SEG = 512
 SAMPLE_BYTES = 1 << 15
-BUILD_ITERS = 5
+# 7 iterations: measured on staged bench content (round 5), 5 -> 7 cuts the
+# fsst stream ~2.0% (0.2885 -> 0.2829) for ~+1 ms/build now that the C
+# count_grams kernel + vectorized selection dropped a build 16 -> ~7 ms
+BUILD_ITERS = 7
 #: cursors per greedy wave — refilled as segments finish.  Big enough to
 #: amortize ~15 numpy kernel dispatches per wave, small enough that the
 #: active byte range (~target x SEG ≈ 2 MiB) stays cache-resident.
@@ -439,6 +442,8 @@ def stratified_sample(data: np.ndarray, offsets: np.ndarray,
 def build_symbol_table(data: np.ndarray, offsets: np.ndarray,
                        iters: int = BUILD_ITERS) -> SymbolTable:
     """Bottom-up table construction on a stratified sample of the chunk."""
+    from . import _native
+
     data, offsets = stratified_sample(data, offsets)
     table = SymbolTable([]).finalize()
     # must match the seg _greedy_encode picks for this (sampled) data size,
@@ -459,29 +464,39 @@ def build_symbol_table(data: np.ndarray, offsets: np.ndarray,
         cand_pos = np.concatenate((units, pair_pos[ok]))
         cand_len = np.concatenate((ulen, pair_len[ok]))
         keys = _gram_keys(data, cand_pos, cand_len)
-        # (keys << 4) | len  ==  keys*16 + len (mod 2^64, len <= 8): shifts
-        # keep the uint64 path SIMD-friendly (CLAUDE.md: u64 multiply slow)
-        combo = (keys << np.uint64(4)) | cand_len.astype(np.uint64)
-        uniq, inv, cnt = np.unique(combo, return_inverse=True, return_counts=True)
-        glen = (uniq % np.uint64(16)).astype(np.int64)
-        gain = cnt * glen
-        # materialize gram bytes via first-occurrence position (numpy fancy
-        # assignment keeps the last write → feed occurrences reversed)
-        first_pos = np.full(uniq.size, -1, dtype=np.int64)
-        first_pos[inv[::-1]] = cand_pos[::-1]
-        order = np.argsort(gain, kind="stable")[::-1][: MAX_SYMS * 2]
-        cands = [(int(gain[gi]),
-                  data[int(first_pos[gi]): int(first_pos[gi]) + int(glen[gi])].tobytes())
-                 for gi in order]
-        # deterministic: gain desc, bytes asc; dedup (hash-collision safety)
-        cands.sort(key=lambda t: (-t[0], t[1]))
-        syms, seen_bytes = [], set()
-        for _, s in cands:
-            if s not in seen_bytes:
-                seen_bytes.add(s)
-                syms.append(s)
-            if len(syms) == MAX_SYMS:
-                break
+        lens64 = cand_len.astype(np.int64)
+        # exact (key, len) grouping — no hash collisions, no byte-level
+        # dedup needed (a right-aligned big-endian u64 + its length IS the
+        # gram).  C counter when available (open addressing, hash-slot
+        # output order), numpy sort-group fallback (sorted output order).
+        res = _native.count_grams(keys, lens64)
+        if res is None:
+            grp = np.lexsort((lens64, keys))
+            ks, ls = keys[grp], lens64[grp]
+            starts = np.concatenate(
+                ([0], np.flatnonzero((ks[1:] != ks[:-1])
+                                     | (ls[1:] != ls[:-1])) + 1))
+            uk, ul = ks[starts], ls[starts]
+            cnt = np.diff(np.concatenate((starts, [ks.size])))
+        else:
+            uk, ul, cnt = res
+        gain = cnt * ul
+        # the two counting paths emit different ORDERS; symbol selection
+        # must be order-independent so a mixed fleet (some workers without
+        # a C compiler) still builds byte-identical tables.  The sort key
+        # (gain desc, left-aligned bytes asc, len asc) is a total order —
+        # (left_key, len) uniquely identifies a gram.  A value-threshold
+        # pre-filter (ties included, so still order-independent) keeps the
+        # 3-key lexsort off the full candidate set.
+        if gain.size > 4096:
+            thr = np.partition(gain, gain.size - 2048)[gain.size - 2048]
+            keep = gain >= thr
+            uk, ul, gain = uk[keep], ul[keep], gain[keep]
+        left = uk << ((np.uint64(MAX_LEN) - ul.astype(np.uint64))
+                      << np.uint64(3))
+        sel = np.lexsort((ul, left, -gain))[:MAX_SYMS]
+        syms = [int(k).to_bytes(MAX_LEN, "big")[MAX_LEN - int(l):]
+                for k, l in zip(uk[sel].tolist(), ul[sel].tolist())]
         table = SymbolTable(syms).finalize()
     return table
 
