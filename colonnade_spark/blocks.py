@@ -43,11 +43,32 @@ class BlockError(ValueError):
     (/root/reference/siphon/src/Siphon/Types.hs:35-59)."""
 
 
+#: probe gating: once the same codec wins _GATE_STREAK consecutive chunks of
+#: a column stream, skip the losers' estimates and keep that codec, with a
+#: full re-probe every _GATE_REPROBE-th chunk (content drift, e.g. a stripe
+#: crossing into another language's files).  The gate state lives in the
+#: EncodeContext — already per-(bucket, column) stream state — so selection
+#: stays a pure function of the chunk sequence (resume/determinism intact).
+#: The auto-path plain fallback in encode_block still bounds every block at
+#: <= plain even when the gated pick goes stale.
+_GATE_STREAK = 3
+_GATE_REPROBE = 16
+
+
 def select_codec(col, stats, ctx, exclude=()) -> str:
     """Argmin of estimated encoded size over applicable candidates.
 
     ``plain`` is always applicable, so the result is never worse than the
     plain baseline (BASELINE.md compressed-size bound, structural)."""
+    gate = ctx.extras.get("sel_gate")
+    if gate is None:
+        gate = ctx.extras["sel_gate"] = {"idx": 0, "last": None, "streak": 0}
+    idx = gate["idx"]
+    gate["idx"] = idx + 1
+    if (not exclude and gate["streak"] >= _GATE_STREAK
+            and idx % _GATE_REPROBE != 0
+            and BY_NAME[gate["last"]].applicable(col, stats)):
+        return gate["last"]
     best_name, best_est = "plain", None
     for name in _CANDIDATE_ORDER:
         if name in exclude:
@@ -58,6 +79,11 @@ def select_codec(col, stats, ctx, exclude=()) -> str:
         est = codec.estimate(col, stats, ctx)
         if best_est is None or est < best_est:
             best_name, best_est = name, est
+    if not exclude:        # retry probes (exclude != ()) don't teach the gate
+        if best_name == gate["last"]:
+            gate["streak"] += 1
+        else:
+            gate["last"], gate["streak"] = best_name, 1
     return best_name
 
 

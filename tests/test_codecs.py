@@ -609,3 +609,47 @@ def test_fcode_estimate_prefers_sorted_over_random():
     true = len(blocks.encode_block(srt, codec="fcode"))
     assert est < 0.6 * st.total_bytes          # sorted: big predicted win
     assert abs(est - true) < 0.35 * true + 512  # and roughly honest
+
+
+def test_probe_gate_skips_loser_estimates_then_reprobes():
+    """Selection-probe gating: after _GATE_STREAK agreeing chunks of one
+    column stream the losers' estimates stop running; a full re-probe every
+    _GATE_REPROBE-th chunk still catches content drift and switches codecs.
+    Gate state lives in EncodeContext (per-stream), so a fresh ctx probes
+    from scratch — selection stays a pure function of the chunk sequence."""
+    import pyarrow as pa
+
+    from colonnade_spark import blocks
+    from colonnade_spark.codecs import BY_NAME, EncodeContext
+
+    calls = {"n": 0}
+    orig = BY_NAME["dict"].estimate
+
+    def counting(col, stats, ctx):
+        calls["n"] += 1
+        return orig(col, stats, ctx)
+
+    runs = pa.array(["aaaa"] * 2000)                      # rle territory
+    hexy = pa.array(["%032x" % (i * 2654435761) for i in range(2000)])
+    BY_NAME["dict"].estimate = counting
+    try:
+        ctx = EncodeContext()
+        picks = [blocks.select_codec(*_cs(runs), ctx) for _ in range(10)]
+        assert picks == ["rle"] * 10
+        # chunks 0..2 teach the gate (streak 3), chunks 3..9 skip probes
+        assert calls["n"] == 3
+        # drift: the gated pick persists until the re-probe boundary...
+        drift = [blocks.select_codec(*_cs(hexy), ctx) for _ in range(8)]
+        assert drift[:6] == ["rle"] * 6                   # chunks 10..15
+        assert drift[6] != "rle"                          # chunk 16 re-probes
+        # ...and a fresh ctx (new stream) probes immediately
+        assert blocks.select_codec(*_cs(hexy), EncodeContext()) != "rle"
+    finally:
+        BY_NAME["dict"].estimate = orig
+
+
+def _cs(arr):
+    from colonnade_spark.codecs import compute_stats, from_arrow
+
+    col, _ = from_arrow(arr)
+    return col, compute_stats(col, arr)
