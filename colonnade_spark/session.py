@@ -22,7 +22,7 @@ def _apply_malloc_env() -> None:
 
 def get_spark(app: str = "colonnade_spark", cores: int | None = None,
               shuffle_partitions: int | None = None, driver_mem: str = "48g",
-              ui: bool = False):
+              ui: bool = False, io_codec: str = "lz4"):
     _apply_malloc_env()
     from pyspark.sql import SparkSession
 
@@ -38,11 +38,16 @@ def get_spark(app: str = "colonnade_spark", cores: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # zstd shuffle blocks: ~45% smaller shuffle files than lz4 on text,
-        # measured 7-8% faster staging at local[1] AND local[4] on this
-        # single-disk host; on a real cluster smaller shuffle blocks also
-        # cut network + remote-fetch cost (the scale-correct default)
-        .config("spark.io.compression.codec", "zstd")
+        # shuffle/broadcast block codec.  lz4 default: the round-4 zstd
+        # switch cost ~1.5 s per latency-bound query (zstd context setup on
+        # every tiny shuffle/broadcast stream — measured on
+        # embedding_neardup_lsh, 2.3 s lz4 vs 4.0 s zstd interleaved), and
+        # after the staged-v2 layout + probe gating the encode staging win
+        # inverted too (local[8] best wall 9.9 s lz4 vs 11.4 s zstd).  On a
+        # REAL cluster with network-bound shuffle, pass io_codec="zstd":
+        # ~45% smaller shuffle blocks cut fetch bytes where that matters.
+        # JVM-fixed: set at session creation, not mutable per job.
+        .config("spark.io.compression.codec", io_codec)
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
