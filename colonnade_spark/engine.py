@@ -538,6 +538,12 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
     anti-joined out BEFORE the shuffle).  The staged path remains for
     workloads that want the shuffle itself durable (resume skips even the
     re-shuffle at the cost of the extra materialization).
+
+    Fused is the recommended default at any scale (and the bench default
+    since round 5): after the lz4 shuffle codec + selection-probe gating +
+    C table build, it wins locally too (local[8] 8.2 s vs 12.0 s staged,
+    [2→8] scaling 0.92 vs 0.73 — the staged write's single-disk floor was
+    the non-scaling term; BASELINE.md round-5).
     """
     import shutil
 
