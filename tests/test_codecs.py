@@ -653,3 +653,41 @@ def _cs(arr):
 
     col, _ = from_arrow(arr)
     return col, compute_stats(col, arr)
+
+
+def test_fsst_table_build_identical_across_count_paths():
+    """The C count_grams (hash-slot output order) and the numpy sort-group
+    fallback must build byte-identical symbol tables — a mixed fleet where
+    some workers lack a compiler still needs deterministic blocks.  The
+    selection's total-order sort (gain desc, left-aligned bytes asc, len
+    asc) is what guarantees order-independence; this test is its gate."""
+    import numpy as np
+    import pyarrow as pa
+
+    from colonnade_spark.codecs import _native, fsst
+    from colonnade_spark.codecs.base import from_arrow
+
+    if _native.get_lib() is None:
+        import pytest
+        pytest.skip("no C toolchain: only the numpy path exists")
+
+    rng = np.random.default_rng(17)
+    vals = ["".join(chr(c) for c in rng.integers(32, 500,
+                                                 size=rng.integers(0, 400)))
+            + ("def f(x):\n    return x + 1\n" * (i % 5))
+            for i in range(400)]
+    vals += ["", "\0\0tie\0", "aa" * 2000, "\xff" * 17]
+    col, _ = from_arrow(pa.array(vals))
+
+    t_c = fsst.build_symbol_table(col.data, col.offsets)
+    real = _native.get_lib
+    try:
+        _native.get_lib = lambda: None                   # force numpy path
+        t_np = fsst.build_symbol_table(col.data, col.offsets)
+    finally:
+        _native.get_lib = real
+    assert t_c.symbols == t_np.symbols
+    # and the tables actually encode: round-trip through the block API
+    from colonnade_spark import blocks
+    arr = pa.array(vals)
+    assert blocks.decode_block(blocks.encode_block(arr, codec="fsst")).equals(arr)
