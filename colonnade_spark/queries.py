@@ -119,6 +119,56 @@ FROM documents
 """
 
 
+def q_rt_fcode_fsst(spark, sf_dir):
+    """Round-trip a LONG sorted monorepo-style path column through the
+    fcode+FSST suffix hybrid (round-5 "fcode suffix entropy" — SURVEY
+    §9-r5.5): front coding strips the shared prefixes, then the suffix
+    stream (still vocabulary-heavy on deep paths) is FSST-encoded as one
+    flat segment (block param ``f:1``).  Deep ~100-byte keys are the
+    fixture class where the hybrid pays (the corpus's ~26-byte paths do
+    not); at sf0.01 the suffix stream exceeds the 4 KiB floor, so the
+    hybrid path executes end-to-end.  Identity oracle = isomorphism."""
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    df = (_read(spark, sf_dir, "documents")
+          .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                  F.concat_ws(
+                      "/", F.lit("corp"), F.lit("platform"), F.col("source"),
+                      F.lit("pipelines"), F.col("lang"),
+                      F.format_string("stage_%02d", F.expr("doc_id % 7")),
+                      F.format_string("component_%04d", F.expr("doc_id % 50")),
+                      F.lit("src/main/handlers"),
+                      F.format_string("handler_%09d.scala", "doc_id"))
+                  .alias("deep_path"))
+          .repartition(1)
+          .sortWithinPartitions("deep_path"))
+
+    def rt(batches):
+        import pyarrow as pa
+
+        from colonnade_spark import blocks as B
+        for batch in batches:
+            codecs = {"deep_path": "fcode", "doc_id": "auto"}
+            arrs = [B.decode_block(B.encode_block(batch.column(i),
+                                                  codec=codecs[nm]))
+                    for i, nm in enumerate(batch.schema.names)]
+            yield pa.RecordBatch.from_arrays(arrs, names=batch.schema.names)
+
+    return df.mapInArrow(rt, df.schema)
+
+
+SQL_RT_FCODE_FSST = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       concat_ws('/', 'corp', 'platform', source, 'pipelines', lang,
+                 printf('stage_%02d', doc_id % 7),
+                 printf('component_%04d', doc_id % 50),
+                 'src/main/handlers',
+                 printf('handler_%09d.scala', doc_id)) AS deep_path
+FROM documents
+"""
+
+
 def q_rt_giant_cell(spark, sf_dir):
     """Round-trip cells through the multi-block-cell path (a cell larger
     than the block cap splits across fragment blocks — the reference's
@@ -2206,6 +2256,9 @@ _DEFERRED_PAST_GATE = [
     "rt_plain_text", "rt_fsst_text", "rt_dict_lang", "rt_rle_source",
     "rt_forbp_ints", "rt_delta_ints", "rt_float_lineitem", "rt_post_zlib",
     "rt_alpha_hex", "rt_fcode_sorted", "rt_geolite_blocks", "rt_events_ts",
+    # round 5: deferred (driver-green r4, pytest-covered) to keep the new
+    # rt_fcode_fsst hybrid inside the 50-entry gate
+    "zone_decode_strings",
 ]
 
 
@@ -2260,6 +2313,8 @@ def _raw_registry() -> dict:
                          "SELECT doc_id, md5(text) AS h FROM documents"),
         # front coding on a sorted path-like key column
         "rt_fcode_sorted": (q_rt_fcode_sorted, SQL_RT_FCODE),
+        # NEW round 5: fcode+FSST suffix hybrid on deep sorted keys
+        "rt_fcode_fsst": (q_rt_fcode_fsst, SQL_RT_FCODE_FSST),
         # multi-block cells: every cell > the fragment cap round-trips
         # through encode_cell_fragments/decode_cell_fragments
         "rt_giant_cell": (q_rt_giant_cell, SQL_GIANT_CELL),
