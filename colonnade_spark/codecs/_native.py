@@ -144,6 +144,17 @@ int64_t decode_stream(const uint8_t *stream, int64_t stream_len,
                       const int64_t *sym_len,
                       uint8_t *out_buf, int64_t *out_offsets)
 {
+    /* Pack each symbol into a u64 word so the hot loop is ONE unconditional
+       8-byte store + advance-by-true-length (symbols are <= 8 bytes; the
+       caller over-allocates out_buf by >= 8 bytes of slack, and overshoot
+       bytes are overwritten by the next store or sliced off).  Identical
+       output to the per-symbol memcpy loop, ~3x fewer store instructions. */
+    uint64_t sym8[256];
+    for (int j = 0; j < 256; j++) {
+        uint64_t w = 0;
+        memcpy(&w, sym_flat + sym_off[j], (size_t)sym_len[j]);
+        sym8[j] = w;
+    }
     int64_t i = 0, out = 0;
     for (int64_t s = 0; s < n_strings; s++) {
         out_offsets[s] = out;
@@ -155,9 +166,8 @@ int64_t decode_stream(const uint8_t *stream, int64_t stream_len,
                 if (i + 1 < end) out_buf[out++] = stream[i + 1];
                 i += 2;
             } else {
-                const int64_t l = sym_len[b];
-                memcpy(out_buf + out, sym_flat + sym_off[b], (size_t)l);
-                out += l;
+                memcpy(out_buf + out, &sym8[b], 8);
+                out += sym_len[b];
                 i += 1;
             }
         }
