@@ -136,13 +136,19 @@ def encode_worker(cores: int, corpus_dir: str, out_json: str,
            "bytes_in": manifest["bytes_in"], "bytes_out": manifest["bytes_out"],
            "compressed_ratio": round(manifest["bytes_out"] / max(manifest["bytes_in"], 1), 4)}
     if verify:
-        # pure decode wall (shuffle-free mapInArrow reassembly) → decode GB/s
-        t1 = time.time()
-        engine.decode_table(spark, wh).write.format("noop") \
-            .mode("overwrite").save()
-        dec = time.time() - t1
-        out["decode_sec"] = round(dec, 3)
-        out["decode_gbps"] = round(content_bytes / dec / 1e9, 4)
+        # pure decode wall (shuffle-free mapInArrow reassembly) → decode GB/s.
+        # Best-of-2 like encode: the first decode pays one-time costs that
+        # are not decode work (C-kernel dlopen per worker, cold page cache
+        # on the just-written blocks).
+        decs = []
+        for _ in range(2):
+            t1 = time.time()
+            engine.decode_table(spark, wh).write.format("noop") \
+                .mode("overwrite").save()
+            decs.append(round(time.time() - t1, 3))
+        out["decode_sec_attempts"] = decs
+        out["decode_sec"] = min(decs)
+        out["decode_gbps"] = round(content_bytes / min(decs) / 1e9, 4)
         # decode + sha256 verify wall (reported, not part of encode throughput)
         t1 = time.time()
         ver = engine.verify_roundtrip(spark, df, corpus_plan(), wh)

@@ -45,6 +45,46 @@ _SAMPLE_RUN = 128
 #: shared vocabulary — measured 0.27 -> 0.08 of content on deep
 #: monorepo-path fixtures); smaller streams can't amortize the table
 _FSST_SUB_MIN = 4096
+#: the hybrid must beat raw suffix bytes by >=25% to be kept: below that
+#: margin the per-chunk table cost and the two-pass decode cost more than
+#: the bytes saved at any scale (measured on the bench corpus: a marginal
+#: suffix win on ~45 KB path stripes cost 10.8 task-seconds of encode)
+_SUB_MARGIN = 0.75
+#: suffix streams at least this large always build a FRESH full-iteration
+#: table (the build amortizes and a fitted table encodes smaller/faster);
+#: smaller streams reuse the ctx-cached table while it clears the margin,
+#: else rebuild with 2 iterations — the same size-tiered economics as the
+#: FSST codec's own table policy (fsst.py `_table`, CLAUDE.md round-4)
+_SUB_FRESH_MIN = 262144
+#: cheap pre-gate: a 2-iter table over at most this many sample suffix
+#: bytes must reach this ratio before the full build is even attempted
+_SUB_PROBE_MAX = 0.70
+_SUB_PROBE_BYTES = 49152
+#: probe gating across the chunk stream (same mechanics as
+#: blocks.select_codec's sel_gate): after this many consecutive chunks
+#: agreeing on try/skip, reuse the decision; full re-probe every 16th.
+#: Gate state lives in EncodeContext (per bucket x column stream), so the
+#: decision stays a pure function of the chunk sequence (resume-safe).
+_SUB_GATE_STREAK = 3
+_SUB_GATE_REPROBE = 16
+
+
+def _sub_probe_ratio(suffix: np.ndarray, s_off: np.ndarray) -> float:
+    """FSST compressibility of the suffix stream from a cheap 2-iter table
+    over a byte-capped prefix of the stream (cut at a suffix boundary so
+    the table's segment offsets stay representative)."""
+    from . import fsst
+
+    hi = int(np.searchsorted(s_off, _SUB_PROBE_BYTES, side="right"))
+    hi = max(min(hi, len(s_off) - 1), 1)
+    sample = suffix[: int(s_off[hi])]
+    if sample.size < 2048:
+        return 1.0
+    tab = fsst.build_symbol_table(sample, s_off[: hi + 1].astype(np.int64),
+                                  iters=2)
+    stream, _ = fsst._encode_stream(
+        sample, np.array([0, sample.size], dtype=np.int64), tab)
+    return max(stream.size / sample.size, 0.05)
 
 
 def _prefix_lens(data: np.ndarray, offsets: np.ndarray,
@@ -122,10 +162,11 @@ class FrontCodeCodec(Codec):
         sub_ratio = 1.0
         if suffix_est >= _FSST_SUB_MIN and frac >= 0.25:
             # the suffixes of sorted keys share vocabulary — probe an FSST
-            # sub-encoding on the sample runs' own suffixes (2-iter table,
-            # deterministic; probe gating amortizes this across the stream)
-            from . import fsst
-
+            # sub-encoding on the sample runs' own suffixes (2-iter table
+            # over a byte-capped sample, deterministic; selection's probe
+            # gating amortizes this across the stream).  The probe ratio
+            # counts only if it clears _SUB_PROBE_MAX — mirroring encode()'s
+            # decision so selection economics match what encode will do.
             subs, soffs, base = [], [0], 0
             for seg, loc, p in runs:
                 sfx, sl = _suffix_gather(seg, loc, p)
@@ -133,13 +174,12 @@ class FrontCodeCodec(Codec):
                 for s in sl.tolist():
                     base += s
                     soffs.append(base)
+                if base >= _SUB_PROBE_BYTES:
+                    break
             sample = np.concatenate(subs) if subs else np.zeros(0, np.uint8)
-            if sample.size >= 2048:
-                tab = fsst.build_symbol_table(
-                    sample, np.asarray(soffs, dtype=np.int64), iters=2)
-                stream, _ = fsst._encode_stream(
-                    sample, np.array([0, sample.size], dtype=np.int64), tab)
-                sub_ratio = max(stream.size / sample.size, 0.05)
+            ratio = _sub_probe_ratio(sample, np.asarray(soffs, dtype=np.int64))
+            if ratio <= _SUB_PROBE_MAX:
+                sub_ratio = ratio
         return (2 + int(sub_ratio * suffix_est) + 512 * (sub_ratio < 1.0)
                 + lens_bytes)
 
@@ -160,22 +200,80 @@ class FrontCodeCodec(Codec):
             # no per-string count array is needed (unlike standalone FSST)
             # and symbols may span suffix boundaries.  The table is built
             # on per-suffix offsets so stratified sampling stays
-            # representative.  Kept only if it actually wins vs the raw
-            # suffix bytes — a pure function of chunk content
-            # (determinism/resume safe).
+            # representative.  Kept only if it beats the raw suffix bytes
+            # by the _SUB_MARGIN — a pure function of chunk content
+            # (determinism/resume safe) — and the full build is only
+            # attempted when a cheap 2-iter sample probe clears
+            # _SUB_PROBE_MAX (probe itself gated across the ctx stream,
+            # sel_gate mechanics, so steady-state chunks pay nothing).
             from . import fsst
 
             s_off = np.zeros(col.n + 1, dtype=np.int64)
             np.cumsum(slens, out=s_off[1:])
-            tab = fsst.build_symbol_table(suffix, s_off)
-            stream, _ = fsst._encode_stream(
-                suffix, np.array([0, suffix.size], dtype=np.int64), tab)
-            tab_bytes = 1 + len(tab.symbols) + sum(map(len, tab.symbols))
-            if stream.size + tab_bytes < suffix.size:
+            flat = np.array([0, suffix.size], dtype=np.int64)
+            big = suffix.size >= _SUB_FRESH_MIN
+
+            def hybrid_size(tab, stream) -> int:
+                return (stream.size + 1 + len(tab.symbols)
+                        + sum(map(len, tab.symbols)))
+
+            def emit(tab, stream) -> bool:
+                if hybrid_size(tab, stream) >= suffix.size * _SUB_MARGIN:
+                    return False
                 params["f"] = 1
-                parts += [bytes([len(tab.symbols)]),
-                          bytes(len(s) for s in tab.symbols),
-                          b"".join(tab.symbols), stream.tobytes()]
+                parts.extend([bytes([len(tab.symbols)]),
+                              bytes(len(s) for s in tab.symbols),
+                              b"".join(tab.symbols), stream.tobytes()])
+                return True
+
+            if not big and ctx is not None:
+                # small stream: a cached table that still clears the margin
+                # skips the build entirely (the table is embedded per block,
+                # so decode never depends on the cache)
+                cached = ctx.extras.get("fcode_sub_tab")
+                if cached is not None:
+                    stream, _ = fsst._encode_stream(suffix, flat, cached)
+                    if emit(cached, stream):
+                        return params, b"".join(parts)
+            gate = None
+            if ctx is not None:
+                gate = ctx.extras.setdefault(
+                    "fcode_sub_gate", {"idx": 0, "last": None, "streak": 0})
+                idx = gate["idx"]
+                gate["idx"] = idx + 1
+            if (gate is not None and gate["streak"] >= _SUB_GATE_STREAK
+                    and idx % _SUB_GATE_REPROBE != 0):
+                attempt = gate["last"]
+            else:
+                # big streams pre-gate with a byte-capped 2-iter probe; for
+                # small streams the 2-iter build IS the attempt (same cost)
+                attempt = (not big
+                           or _sub_probe_ratio(suffix, s_off) <= _SUB_PROBE_MAX)
+            won = False
+            if attempt:
+                tab = fsst.build_symbol_table(
+                    suffix, s_off, iters=fsst.BUILD_ITERS if big else 2)
+                stream, _ = fsst._encode_stream(suffix, flat, tab)
+                if (not big
+                        and hybrid_size(tab, stream)
+                        < suffix.size * _SUB_MARGIN):
+                    # winning small stream: pay ONE full-iteration build —
+                    # it becomes the cached table for the rest of the
+                    # stream, so the quality upgrade amortizes
+                    tab2 = fsst.build_symbol_table(suffix, s_off)
+                    stream2, _ = fsst._encode_stream(suffix, flat, tab2)
+                    if hybrid_size(tab2, stream2) <= hybrid_size(tab, stream):
+                        tab, stream = tab2, stream2
+                won = emit(tab, stream)
+                if ctx is not None:
+                    ctx.extras["fcode_sub_tab"] = tab if won and not big \
+                        else None
+            if gate is not None:
+                if won == gate["last"]:
+                    gate["streak"] += 1
+                else:
+                    gate["last"], gate["streak"] = won, 1
+            if won:
                 return params, b"".join(parts)
         parts.append(suffix.tobytes())
         return params, b"".join(parts)

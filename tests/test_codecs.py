@@ -657,6 +657,65 @@ def test_fcode_fsst_suffix_hybrid():
     assert blocks.decode_block(sblk).equals(small)
 
 
+def test_fcode_sub_hybrid_margin_and_table_economics():
+    """The suffix hybrid engages only when it beats raw suffix bytes by the
+    _SUB_MARGIN (a marginal FSST win is a net loss: per-chunk table cost +
+    two-pass decode for a few percent of bytes — the round-5 bench
+    regression this rule pins), and small streams amortize the table with
+    fsst.py's own size-tiered policy: losers stop building after the gate
+    streak, winners cache the table and skip the build on later chunks."""
+    import pyarrow as pa
+
+    from colonnade_spark import blocks
+    from colonnade_spark.codecs import EncodeContext, fcode, fsst
+
+    rng = np.random.RandomState(7)
+    # sorted keys with real shared prefixes but high-entropy suffixes over a
+    # ~90-symbol alphabet (hex would NOT do: a 16-char alphabet FSST-packs
+    # 2:1): front coding wins, the FSST sub-encode can't clear the margin
+    alpha = np.frombuffer(bytes(range(33, 126)), dtype=np.uint8)
+    noisy = pa.array(sorted(
+        "repo/pkg/%03d/" % (i // 64)
+        + bytes(alpha[rng.randint(0, alpha.size, 48)]).decode()
+        for i in range(2000)))
+    blk = blocks.encode_block(noisy, codec="fcode")
+    assert "f" not in blocks.block_info(blk).get("p", {})
+    assert blocks.decode_block(blk).equals(noisy)
+
+    winner = pa.array(sorted(
+        f"corp/platform/services/ingest_{i//500:03d}/pipeline/"
+        f"stage_{(i//50)%10}/component_{i%50:04d}/src/main/"
+        f"module_{i%7}/Handler_{i:06d}.java" for i in range(2000)))
+
+    builds = {"n": 0}
+    orig = fsst.build_symbol_table
+
+    def counting(*a, **kw):
+        builds["n"] += 1
+        return orig(*a, **kw)
+
+    try:
+        fsst.build_symbol_table = counting
+        ctx = EncodeContext()
+        for _ in range(10):
+            blocks.encode_block(noisy, codec="fcode", ctx=ctx)
+        # loser stream: chunks 0..2 teach the gate, 3..9 skip the build
+        assert builds["n"] == 3
+        builds["n"] = 0
+        ctx = EncodeContext()
+        outs = [blocks.encode_block(winner, codec="fcode", ctx=ctx)
+                for _ in range(6)]
+        # winner stream: the deciding chunk pays a 2-iter attempt + one
+        # full-iteration upgrade; later chunks reuse the cached table —
+        # and the table is embedded per block, so every block still
+        # round-trips standalone
+        assert builds["n"] == 2
+        assert all(blocks.block_info(o)["p"].get("f") == 1 for o in outs)
+        assert all(blocks.decode_block(o).equals(winner) for o in outs)
+    finally:
+        fsst.build_symbol_table = orig
+
+
 def test_probe_gate_skips_loser_estimates_then_reprobes():
     """Selection-probe gating: after _GATE_STREAK agreeing chunks of one
     column stream the losers' estimates stop running; a full re-probe every
