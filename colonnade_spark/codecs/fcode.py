@@ -177,7 +177,19 @@ class FrontCodeCodec(Codec):
                 if base >= _SUB_PROBE_BYTES:
                     break
             sample = np.concatenate(subs) if subs else np.zeros(0, np.uint8)
-            ratio = _sub_probe_ratio(sample, np.asarray(soffs, dtype=np.int64))
+            cached = ctx.extras.get("fcode_sub_tab") if ctx is not None \
+                else None
+            if cached is not None and sample.size >= 2048:
+                # the stream's live table prices the sample for ~free
+                from . import fsst
+
+                stream, _ = fsst._encode_stream(
+                    sample, np.array([0, sample.size], dtype=np.int64),
+                    cached)
+                ratio = max(stream.size / sample.size, 0.05)
+            else:
+                ratio = _sub_probe_ratio(sample,
+                                         np.asarray(soffs, dtype=np.int64))
             if ratio <= _SUB_PROBE_MAX:
                 sub_ratio = ratio
         return (2 + int(sub_ratio * suffix_est) + 512 * (sub_ratio < 1.0)
@@ -226,6 +238,7 @@ class FrontCodeCodec(Codec):
                               b"".join(tab.symbols), stream.tobytes()])
                 return True
 
+            drifted = False
             if not big and ctx is not None:
                 # small stream: a cached table that still clears the margin
                 # skips the build entirely (the table is embedded per block,
@@ -235,6 +248,7 @@ class FrontCodeCodec(Codec):
                     stream, _ = fsst._encode_stream(suffix, flat, cached)
                     if emit(cached, stream):
                         return params, b"".join(parts)
+                    drifted = True
             gate = None
             if ctx is not None:
                 gate = ctx.extras.setdefault(
@@ -251,16 +265,24 @@ class FrontCodeCodec(Codec):
                            or _sub_probe_ratio(suffix, s_off) <= _SUB_PROBE_MAX)
             won = False
             if attempt:
-                tab = fsst.build_symbol_table(
-                    suffix, s_off, iters=fsst.BUILD_ITERS if big else 2)
+                # small-stream iteration ladder (per-iteration cost is a
+                # fixed ~2 ms python/numpy floor, so iterations are the
+                # budget): fresh streams attempt with 2 iters and refine
+                # once at 4 on a win (4 iters captures ~97% of the
+                # full-iteration win on deep-key streams, 30594 vs 30396 B
+                # on the 158 KB fixture, while marginal streams gain ~0);
+                # a drifted cache means the stream already proved it wins,
+                # so rebuild straight at 4
+                if big:
+                    tab = fsst.build_symbol_table(suffix, s_off)
+                else:
+                    tab = fsst.build_symbol_table(
+                        suffix, s_off, iters=4 if drifted else 2)
                 stream, _ = fsst._encode_stream(suffix, flat, tab)
-                if (not big
+                if (not big and not drifted
                         and hybrid_size(tab, stream)
                         < suffix.size * _SUB_MARGIN):
-                    # winning small stream: pay ONE full-iteration build —
-                    # it becomes the cached table for the rest of the
-                    # stream, so the quality upgrade amortizes
-                    tab2 = fsst.build_symbol_table(suffix, s_off)
+                    tab2 = fsst.build_symbol_table(suffix, s_off, iters=4)
                     stream2, _ = fsst._encode_stream(suffix, flat, tab2)
                     if hybrid_size(tab2, stream2) <= hybrid_size(tab, stream):
                         tab, stream = tab2, stream2
