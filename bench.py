@@ -177,6 +177,19 @@ def _warm_workers(spark) -> None:
     (spark.range(n * 4, numPartitions=n)
      .select(touch(F.col("id").cast("double")))
      .write.format("noop").mode("overwrite").save())
+    # JVM-path warmup on a tiny SYNTHETIC frame (not the measured tables):
+    # window exec, shuffle, partial agg, broadcast join, AQE and the noop
+    # writer all JIT on first use — without this the first registry query
+    # absorbs ~3 s of one-time session cost (measured after the round-5
+    # registry rotation put a 0.7 s query first)
+    from pyspark.sql import Window
+
+    df = spark.range(10000).select("id", (F.col("id") % 7).alias("k"))
+    w = Window.partitionBy("k").orderBy("id")
+    (df.withColumn("lg", F.lag("id").over(w))
+     .groupBy("k").agg(F.count("*").alias("n"), F.sum("lg").alias("s"))
+     .join(F.broadcast(spark.range(7).withColumnRenamed("id", "k")), "k")
+     .write.format("noop").mode("overwrite").save())
 
 
 def run_queries(spark, sf_dir: str) -> dict:

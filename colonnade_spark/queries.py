@@ -857,6 +857,8 @@ def q_ngram_jaccard(spark, sf_dir):
     round-trip) and the output check is equally strict."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql import Window
+
     docs = _read(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
@@ -865,14 +867,25 @@ def q_ngram_jaccard(spark, sf_dir):
                "            i -> substring(text, i, 5))),"
                " s -> xxhash64(s))")
         .alias("sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select((F.col("doc_id") - 1).alias("id_a"),
-                  F.col("sh").alias("sh_b"))
-    j = a.join(b, "id_a")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return j.select(
-        F.col("id_a").cast("bigint"),
+    # adjacent-pair matching WITHOUT the self-join: block the id space and
+    # pair with a per-block window lag, duplicating only each block's last
+    # row into the next block so boundary pairs survive — every shingle
+    # array is computed once and crosses the shuffle once (+1/B for the
+    # boundary dups) instead of twice on each side of a join; block count
+    # scales with doc count, so no partition ever holds more than B rows
+    B = 1024
+    base = sh.withColumn("blk", F.floor(F.col("doc_id") / B))
+    dup = (sh.filter((F.col("doc_id") + 1) % B == 0)
+           .withColumn("blk", F.floor(F.col("doc_id") / B) + 1))
+    w = Window.partitionBy("blk").orderBy("doc_id")
+    p = (base.unionByName(dup)
+         .withColumn("prev_id", F.lag("doc_id").over(w))
+         .withColumn("sh_a", F.lag("sh").over(w))
+         .filter(F.col("prev_id") == F.col("doc_id") - 1))
+    inter = F.size(F.array_intersect("sh_a", "sh"))
+    union = F.size(F.array_union("sh_a", "sh"))
+    return p.select(
+        F.col("prev_id").cast("bigint").alias("id_a"),
         inter.cast("bigint").alias("n_inter"),
         union.cast("bigint").alias("n_union"),
         F.floor(inter * 1000 / union).cast("bigint").alias("jaccard_milli"))
@@ -2113,21 +2126,25 @@ def q_decontaminate(spark, sf_dir):
             lambda i: F.concat_ws(" ", F.slice(words, i, 3)))),
         lambda s: F.xxhash64(s))
     ).otherwise(F.array().cast("array<bigint>"))
-    base = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                       bucket.alias("bucket"), shingles.alias("sh"))
-    test = (base.filter(F.col("bucket") >= 90)
-            .select("doc_id", F.explode("sh").alias("s")))
-    train_sh = (base.filter(F.col("bucket") < 80)
-                .select(F.explode("sh").alias("s")).distinct())
-    hits = (test.join(train_sh, "s")
-            .groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_hit")))
-    test_docs = (base.filter(F.col("bucket") >= 90)
-                 .select("doc_id", F.size("sh").cast("bigint").alias("n_shingles")))
-    return (test_docs.join(hits, "doc_id", "left")
-            .select("doc_id", "n_shingles",
-                    F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
-                    (F.coalesce("n_hit", F.lit(0)) * 2
-                     >= F.col("n_shingles")).alias("contaminated")))
+    # shingle each split ONCE, with the bucket filter below the shingling
+    # (the val split never pays it); n_shingles rides the explode_outer
+    # rows so no third shingling pass / join-back over the test split is
+    # needed — an empty-shingle doc keeps its one null-key row, which
+    # joins nothing and counts zero hits
+    test = (docs.filter(bucket >= 90)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    shingles.alias("sh"))
+            .select("doc_id", F.size("sh").cast("bigint").alias("n_shingles"),
+                    F.explode_outer("sh").alias("s")))
+    train_sh = (docs.filter(bucket < 80)
+                .select(F.explode(shingles).alias("s")).distinct())
+    hits = (test.join(train_sh.withColumn("hit", F.lit(1)), "s", "left")
+            .groupBy("doc_id")
+            .agg(F.first("n_shingles").alias("n_shingles"),
+                 F.count("hit").cast("bigint").alias("n_hit")))
+    return hits.select("doc_id", "n_shingles", "n_hit",
+                       (F.col("n_hit") * 2
+                        >= F.col("n_shingles")).alias("contaminated"))
 
 
 SQL_DECONTAMINATE = f"""
