@@ -413,44 +413,61 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
 
     Returns (id, component) where component = min id in the component.
 
-    100-TB shape: each round is one shuffle join edges⋈labels + one groupBy
-    min — the standard large-scale CC pattern (no driver-side graph); the
-    loop stops early when a round changes nothing (one count per round,
-    same discipline as AQE's runtime decisions).  Each round's labels are
-    ``localCheckpoint``-ed: the lineage would otherwise grow one join per
-    round (re-planning cost compounds), and the superseded round's cache is
-    unpersisted so memory stays O(one labels table).
+    100-TB shape: each round is ONE shuffle join edges⋈labels plus ONE
+    union+groupBy min — the join-back of the classic formulation is
+    replaced by unioning the nodes' own labels into the neighbor
+    contributions before the min, and the edges table is hash-partitioned
+    on the join key once (cached post-shuffle), so rounds re-shuffle only
+    the labels side.  Convergence is checked WITHOUT a join: labels are
+    monotonically non-increasing under min-propagation, so the label sum
+    (exact, decimal(38,0) — bigint would overflow at 1e12 63-bit ids) is
+    strictly decreasing until the fixed point; an unchanged sum IS the
+    fixed point.  Each round's labels are ``localCheckpoint``-ed: the
+    lineage would otherwise grow one join per round (re-planning cost
+    compounds), and the superseded round's cache is unpersisted so memory
+    stays O(one labels table).
 
     Exiting by iteration count means some cluster's diameter exceeds
     ``max_iters`` and the labels are SPLIT (multiple survivors per true
     cluster).  ``on_max_iters``: "warn" (default — ``RuntimeWarning``),
     "raise" (``RuntimeError``), or "ignore".
+
+    Precondition: every pair endpoint appears in ``ids_df`` (true for all
+    in-repo callers — pairs are derived from the same table).  An endpoint
+    missing from ``ids_df`` is not given a self-label, so it can bridge
+    its neighbors' components and appears in the output with the merged
+    label.
     """
     import warnings
 
     from pyspark.sql import functions as F
 
+    spark = ids_df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ids = ids_df.select(F.col(id_col).alias("id")).distinct()
+    # hash-partition the edges on the join key ONCE: the per-round join's
+    # required distribution is already satisfied by the cached layout, so
+    # only the (much smaller) labels side shuffles each round
     edges = (pairs_df.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
              .unionByName(pairs_df.select(F.col("id_b").alias("u"),
                                           F.col("id_a").alias("v")))
-             .distinct().cache())
+             .distinct().repartition(n_part, "v").cache())
     labels = ids.select("id", F.col("id").alias("comp")).cache()
-    sc = ids_df.sparkSession.sparkContext
+    sc = spark.sparkContext
     first_round_cache = labels
     prev_ckpt_rdd_id = None
+    prev_sum = None
     converged = False
     for _ in range(max_iters):
-        nbr_min = (edges.join(labels, edges.v == labels.id)
-                   .groupBy("u").agg(F.min("comp").alias("nbr_comp")))
-        # one join per round: carry old_comp alongside so the fixed-point
-        # check is a local scan of the checkpointed result, not a second
-        # new⋈old shuffle join.  localCheckpoint = materialize AND truncate
-        # lineage (cache alone keeps the growing join tree in the plan).
-        upd = (labels.join(nbr_min, labels.id == nbr_min.u, "left")
-               .select("id", F.col("comp").alias("old_comp"),
-                       F.least("comp", F.coalesce("nbr_comp", "comp"))
-                       .alias("comp"))
+        contrib = (edges.join(labels, edges.v == labels.id)
+                   .select(F.col("u").alias("id"), "comp"))
+        # union the nodes' own labels into the neighbor contributions and
+        # take one min — same semantics as least(self, min(neighbors)) with
+        # one fewer shuffle (no join-back).  localCheckpoint = materialize
+        # AND truncate lineage (cache alone keeps the growing join tree in
+        # the plan).
+        upd = (labels.unionByName(contrib)
+               .groupBy("id").agg(F.min("comp").alias("comp"))
                .localCheckpoint(eager=True))
         # the checkpoint's OWN backing RDD, read off its LogicalRDD plan —
         # never a global storage-listing diff, which would capture (and
@@ -463,7 +480,12 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
             ckpt_rdd_id = int(upd._jdf.queryExecution().analyzed().rdd().id())
         except Exception:
             ckpt_rdd_id = None
-        changed = upd.filter("comp <> old_comp").limit(1).count()
+        # join-free fixed-point check: labels never increase, so the exact
+        # label sum is strictly decreasing until convergence
+        cur_sum = upd.agg(F.sum(F.col("comp").cast("decimal(38,0)"))
+                          .alias("s")).collect()[0]["s"]
+        changed = 0 if cur_sum == prev_sum else 1
+        prev_sum = cur_sum
         # release the SUPERSEDED round's storage.  DataFrame.unpersist()
         # does NOT free localCheckpoint blocks (verified: storage info
         # still lists them) — they must be unpersisted via the underlying
