@@ -75,7 +75,10 @@ def _sub_probe_ratio(suffix: np.ndarray, s_off: np.ndarray) -> float:
     the table's segment offsets stay representative)."""
     from . import fsst
 
-    hi = int(np.searchsorted(s_off, _SUB_PROBE_BYTES, side="right"))
+    # last boundary AT OR BELOW the cap (the insertion point itself is the
+    # first boundary above it — taking that would pull in one arbitrarily
+    # large suffix); always keep at least one suffix
+    hi = int(np.searchsorted(s_off, _SUB_PROBE_BYTES, side="right")) - 1
     hi = max(min(hi, len(s_off) - 1), 1)
     sample = suffix[: int(s_off[hi])]
     if sample.size < 2048:
@@ -287,9 +290,11 @@ class FrontCodeCodec(Codec):
                     if hybrid_size(tab2, stream2) <= hybrid_size(tab, stream):
                         tab, stream = tab2, stream2
                 won = emit(tab, stream)
-                if ctx is not None:
-                    ctx.extras["fcode_sub_tab"] = tab if won and not big \
-                        else None
+                if ctx is not None and not big:
+                    # big chunks never touch the small-stream cache: chunk
+                    # sizes oscillating around _SUB_FRESH_MIN (batch splits
+                    # are partitioning-dependent) must not wipe a winner
+                    ctx.extras["fcode_sub_tab"] = tab if won else None
             if gate is not None:
                 if won == gate["last"]:
                     gate["streak"] += 1

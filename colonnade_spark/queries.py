@@ -874,9 +874,12 @@ def q_ngram_jaccard(spark, sf_dir):
     # boundary dups) instead of twice on each side of a join; block count
     # scales with doc count, so no partition ever holds more than B rows
     B = 1024
-    base = sh.withColumn("blk", F.floor(F.col("doc_id") / B))
+    # integer DIV, not floor(/): bigint / int is DOUBLE in Spark, and above
+    # 2^53 a lossy quotient could misplace a row's block and silently drop
+    # its pair — exactly the scale this shape exists for
+    base = sh.withColumn("blk", F.expr(f"doc_id DIV {B}"))
     dup = (sh.filter((F.col("doc_id") + 1) % B == 0)
-           .withColumn("blk", F.floor(F.col("doc_id") / B) + 1))
+           .withColumn("blk", F.expr(f"doc_id DIV {B}") + 1))
     w = Window.partitionBy("blk").orderBy("doc_id")
     p = (base.unionByName(dup)
          .withColumn("prev_id", F.lag("doc_id").over(w))

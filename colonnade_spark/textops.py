@@ -456,7 +456,10 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
     sc = spark.sparkContext
     first_round_cache = labels
     prev_ckpt_rdd_id = None
-    prev_sum = None
+    # seed with the initial label sum so an already-converged graph (e.g.
+    # empty pairs) is detected in round 1, not round 2
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))
+                          .alias("s")).collect()[0]["s"]
     converged = False
     for _ in range(max_iters):
         contrib = (edges.join(labels, edges.v == labels.id)
