@@ -260,15 +260,40 @@ def main() -> None:
     if not skip_encode:
         results = {}
         for c in ladder:
-            # verify (decode + sha256) runs once, at the headline high level.
-            # The headline pair gets extra attempts: this host throttles in
-            # multi-minute windows (±4x, not always visible as steal
-            # jiffies), and a window landing on one headline level distorts
-            # the efficiency ratio in whichever direction it hits — best-of
-            # more attempts on BOTH headline levels is the honest guard.
-            results[c] = _run_level(c, corpus_dir,
-                                    attempts=3 if c == high else 2,
-                                    verify=(c == high))
+            if c in (low, high):
+                continue
+            results[c] = _run_level(c, corpus_dir, attempts=2, verify=False)
+        # the headline pair is measured INTERLEAVED (low, high, low, high,
+        # ...), one single-attempt JVM per slot: this host throttles in
+        # multi-minute bands, so consecutive attempts of ONE level all land
+        # in the same band and the efficiency ratio inherits whichever band
+        # hit which level (observed: [1,4] printing 0.51 because local[4]'s
+        # whole run sat in a band local[8] missed).  Alternating slots give
+        # each level attempts spread across the same set of bands; best-of
+        # then compares like with like.  verify rides the last high slot.
+        def _merge(acc, r):
+            if acc is None:
+                return r
+            acc["encode_sec_attempts"] += r["encode_sec_attempts"]
+            acc["throttle_probe_ms"] += r["throttle_probe_ms"]
+            if r["encode_sec"] < acc["encode_sec"]:
+                for k in ("encode_sec", "gbps", "stage_sec",
+                          "encode_phase_sec", "compressed_ratio"):
+                    acc[k] = r[k]
+            for k in ("decode_gbps", "decode_sec", "decode_sec_attempts",
+                      "verify_ok", "verify_sec"):
+                if k in r:
+                    acc[k] = r[k]
+            return acc
+
+        pair_rounds = 3
+        for i in range(pair_rounds):
+            results[low] = _merge(results.get(low),
+                                  _run_level(low, corpus_dir, attempts=1,
+                                             verify=False))
+            results[high] = _merge(results.get(high),
+                                   _run_level(high, corpus_dir, attempts=1,
+                                              verify=(i == pair_rounds - 1)))
         lo, hi = results[low], results[high]
         encode = {
             "corpus_files": N_FILES,
