@@ -857,41 +857,34 @@ def q_ngram_jaccard(spark, sf_dir):
     round-trip) and the output check is equally strict."""
     from pyspark.sql import functions as F
 
-    from pyspark.sql import Window
+    from .textops import adjacent_jaccard_kernel
 
-    docs = _read(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.expr("transform(array_distinct("
-               "  transform(sequence(1, greatest(length(text) - 4, 1)),"
-               "            i -> substring(text, i, 5))),"
-               " s -> xxhash64(s))")
-        .alias("sh"))
-    # adjacent-pair matching WITHOUT the self-join: block the id space and
-    # pair with a per-block window lag, duplicating only each block's last
-    # row into the next block so boundary pairs survive — every shingle
-    # array is computed once and crosses the shuffle once (+1/B for the
-    # boundary dups) instead of twice on each side of a join; block count
-    # scales with doc count, so no partition ever holds more than B rows
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # adjacent-pair matching WITHOUT the self-join: block the id space,
+    # duplicating only each block's last row into the next block so
+    # boundary pairs survive — each text crosses the shuffle once (+1/B);
+    # block count scales with doc count, so no partition ever holds more
+    # than B rows.  Round 6 (guide §4.2): the shingle sets AND the
+    # intersect/union sizes are computed in ONE vectorized mapInArrow
+    # kernel over the block-sorted stream — the former JVM
+    # transform(substring)/array_distinct chain evaluated ~200k shingles/s
+    # across 32 cores and the lag() window shipped 8-byte-per-char hash
+    # arrays through the shuffle where the raw text is ~8x smaller.  Keys
+    # are injectively PACKED code points (textops.char_ngram_key_sets), so
+    # set sizes are exactly the string-set sizes — strictly stronger than
+    # the xxhash64 keys they replace.
     B = 1024
     # integer DIV, not floor(/): bigint / int is DOUBLE in Spark, and above
     # 2^53 a lossy quotient could misplace a row's block and silently drop
     # its pair — exactly the scale this shape exists for
-    base = sh.withColumn("blk", F.expr(f"doc_id DIV {B}"))
-    dup = (sh.filter((F.col("doc_id") + 1) % B == 0)
+    base = docs.withColumn("blk", F.expr(f"doc_id DIV {B}"))
+    dup = (docs.filter((F.col("doc_id") + 1) % B == 0)
            .withColumn("blk", F.expr(f"doc_id DIV {B}") + 1))
-    w = Window.partitionBy("blk").orderBy("doc_id")
-    p = (base.unionByName(dup)
-         .withColumn("prev_id", F.lag("doc_id").over(w))
-         .withColumn("sh_a", F.lag("sh").over(w))
-         .filter(F.col("prev_id") == F.col("doc_id") - 1))
-    inter = F.size(F.array_intersect("sh_a", "sh"))
-    union = F.size(F.array_union("sh_a", "sh"))
-    return p.select(
-        F.col("prev_id").cast("bigint").alias("id_a"),
-        inter.cast("bigint").alias("n_inter"),
-        union.cast("bigint").alias("n_union"),
-        F.floor(inter * 1000 / union).cast("bigint").alias("jaccard_milli"))
+    u = base.unionByName(dup).select("blk", "doc_id", "text")
+    shuffled = u.repartition("blk").sortWithinPartitions("blk", "doc_id")
+    return shuffled.mapInArrow(
+        adjacent_jaccard_kernel(5, B),
+        "id_a bigint, n_inter bigint, n_union bigint, jaccard_milli bigint")
 
 
 SQL_NGRAM_JACCARD = """
@@ -2118,29 +2111,31 @@ def q_decontaminate(spark, sf_dir):
     so the output stays value-exact."""
     from pyspark.sql import functions as F
 
+    from .textops import with_word_shingle_hashes
+
     docs = _read(spark, sf_dir, "documents")
     bucket = _split_bucket_col()
-    words = F.split("text", " ")
-    # guard: Spark sequence(1, 0) DESCENDS ([1, 0]) — short docs need an
-    # explicit empty shingle list (DuckDB's range(1, 1) is already empty)
-    shingles = F.when(F.size(words) >= 3, F.transform(
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 3)))),
-        lambda s: F.xxhash64(s))
-    ).otherwise(F.array().cast("array<bigint>"))
     # shingle each split ONCE, with the bucket filter below the shingling
     # (the val split never pays it); n_shingles rides the explode_outer
     # rows so no third shingling pass / join-back over the test split is
     # needed — an empty-shingle doc keeps its one null-key row, which
-    # joins nothing and counts zero hits
-    test = (docs.filter(bucket >= 90)
+    # joins nothing and counts zero hits.  Round 6 (guide §4.2): the
+    # shingle hash sets come from the vectorized span-hash kernel
+    # (textops.word_shingle_hash_sets) — the former JVM
+    # transform/concat_ws/array_distinct/xxhash64 expression chain was the
+    # query's bottleneck (~10 s of the 14 s at sf1.0 for the train split
+    # alone).  Hash family changed xxhash64 → polynomial+splitmix64: both
+    # are used for equality/distinct-ness only, same ~1e-9 collision
+    # budget, and the oracle re-derives every count from raw strings.
+    test = (with_word_shingle_hashes(
+                docs.filter(bucket >= 90).select("doc_id", "text"),
+                "text", "sh")
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                    shingles.alias("sh"))
-            .select("doc_id", F.size("sh").cast("bigint").alias("n_shingles"),
+                    F.size("sh").cast("bigint").alias("n_shingles"),
                     F.explode_outer("sh").alias("s")))
-    train_sh = (docs.filter(bucket < 80)
-                .select(F.explode(shingles).alias("s")).distinct())
+    train_sh = (with_word_shingle_hashes(
+                    docs.filter(bucket < 80).select("text"), "text", "sh")
+                .select(F.explode("sh").alias("s")).distinct())
     hits = (test.join(train_sh.withColumn("hit", F.lit(1)), "s", "left")
             .groupBy("doc_id")
             .agg(F.first("n_shingles").alias("n_shingles"),

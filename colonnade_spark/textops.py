@@ -637,6 +637,267 @@ def with_winnow_fingerprints(df, text_col: str, fp_col: str = "fps",
 
 
 # --------------------------------------------------------------------------
+# vectorized character-n-gram keys (the exact-set kernel behind
+# queries.q_ngram_jaccard — round 6, guide §4.2: one numpy pass per batch
+# replaced the JVM transform(substring)/array_distinct expression chain,
+# which evaluated at ~200k shingles/s/32-cores)
+# --------------------------------------------------------------------------
+
+def char_ngram_key_sets(texts, n: int = 5) -> list:
+    """Distinct character-n-gram keys per text, as SORTED-unique uint64
+    arrays (one per text).
+
+    Character semantics match ``substring()``: texts are decoded to UTF-32
+    code points, windows are ``n`` consecutive code points, and — mirroring
+    ``sequence(1, greatest(len - n + 1, 1))`` — a text shorter than ``n``
+    contributes its single whole-text window (the empty text contributes
+    the empty window).
+
+    Keys are INJECTIVE whenever every window code point < 2^12 (n<=5:
+    5 x 12 = 60 packed bits, and a short window's length is recoverable
+    from its highest non-zero field because code points are >= 1), so
+    distinct keys <-> distinct n-gram strings and set sizes are EXACTLY
+    the string-set sizes.  Windows containing wider code points fold their
+    high bits in through a splitmix64 mix — a per-window (batch-
+    independent) fallback with ~P^2/2^64 collision odds.
+    """
+    if n > 5:
+        raise ValueError(f"char_ngram_key_sets: n={n} > 5 overflows the "
+                         "60-bit injective pack")
+    m = len(texts)
+    cps = [np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+           for t in texts]
+    lens = np.fromiter((c.size for c in cps), dtype=np.int64, count=m)
+    counts = np.maximum(lens - n + 1, 1)
+    starts = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    total = int(starts[-1])
+    keys = np.zeros(total, dtype=np.uint64)
+
+    buf = (np.concatenate(cps) if cps else np.zeros(0, dtype=np.uint32)) \
+        .astype(np.uint64)
+    off = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    nk = buf.size - n + 1
+    long_mask = lens >= n
+    short_idx = np.flatnonzero(~long_mask)
+    if long_mask.any() and nk > 0:
+        lo = buf & np.uint64(0xFFF)
+        hi = buf >> np.uint64(12)
+        pack = lo[:nk].copy()
+        hpack = hi[:nk].copy()
+        for k in range(1, n):
+            pack |= lo[k: nk + k] << np.uint64(12 * k)
+            hpack |= hi[k: nk + k] << np.uint64(12 * k)
+        wide = hpack != 0
+        if wide.any():
+            pack[wide] ^= _mix64(hpack[wide])
+        # windows crossing a document boundary are invalid (same masking
+        # trick as _shingle_keys)
+        valid = np.ones(nk, dtype=bool)
+        bad = (off[1:, None] - np.arange(1, n, dtype=np.int64)).ravel()
+        bad = bad[(bad >= 0) & (bad < nk)]
+        valid[bad] = False
+        out_mask = np.ones(total, dtype=bool)
+        out_mask[starts[short_idx]] = False
+        keys[out_mask] = pack[valid]
+    if short_idx.size:
+        key = np.zeros(short_idx.size, dtype=np.uint64)
+        hkey = np.zeros(short_idx.size, dtype=np.uint64)
+        for k in range(n - 1):
+            sel = lens[short_idx] > k
+            if not sel.any():
+                break
+            rows = np.flatnonzero(sel)
+            v = buf[off[short_idx[rows]] + k]
+            key[rows] |= (v & np.uint64(0xFFF)) << np.uint64(12 * k)
+            hkey[rows] |= (v >> np.uint64(12)) << np.uint64(12 * k)
+        wide = hkey != 0
+        if wide.any():
+            key[wide] ^= _mix64(hkey[wide])
+        keys[starts[short_idx]] = key
+    # per-doc sorted unique (one lexsort + adjacent diff, winnow_batch style)
+    doc_of = np.repeat(np.arange(m, dtype=np.int64), counts)
+    order = np.lexsort((keys, doc_of))
+    sv, sd = keys[order], doc_of[order]
+    keep = np.ones(sv.size, dtype=bool)
+    keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+    uv, ud = sv[keep], sd[keep]
+    ucnt = np.bincount(ud, minlength=m)
+    uoff = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(ucnt, out=uoff[1:])
+    return [uv[uoff[i]: uoff[i + 1]] for i in range(m)]
+
+
+def adjacent_jaccard_kernel(n: int = 5, block: int = 1024):
+    """mapInArrow kernel: rows sorted by (blk, doc_id) → one output row per
+    adjacent (doc_id, doc_id+1) pair within a block, with EXACT character-
+    n-gram intersection/union set sizes (injective keys —
+    :func:`char_ngram_key_sets`).  Carries the last row across arrow batch
+    boundaries so a pair split between batches is never lost."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema([("id_a", pa.int64()), ("n_inter", pa.int64()),
+                                ("n_union", pa.int64()),
+                                ("jaccard_milli", pa.int64())])
+        prev = None            # (blk, doc_id, sorted-unique key array)
+        for batch in batches:
+            blks = batch.column("blk").to_numpy(zero_copy_only=False)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            sets = char_ngram_key_sets(
+                batch.column("text").to_pylist(), n)
+            ia, ninter, nunion = [], [], []
+            for r in range(len(ids)):
+                cur = (int(blks[r]), int(ids[r]), sets[r])
+                if prev is not None and prev[0] == cur[0] \
+                        and prev[1] == cur[1] - 1:
+                    a, b = prev[2], cur[2]
+                    ni = int(np.intersect1d(a, b, assume_unique=True).size)
+                    ia.append(prev[1])
+                    ninter.append(ni)
+                    nunion.append(a.size + b.size - ni)
+                prev = cur
+            if ia:
+                ninter = np.asarray(ninter, dtype=np.int64)
+                nunion = np.asarray(nunion, dtype=np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.asarray(ia, dtype=np.int64)),
+                     pa.array(ninter), pa.array(nunion),
+                     pa.array(ninter * 1000 // nunion)], schema=out_schema)
+
+    return kernel
+
+
+# --------------------------------------------------------------------------
+# vectorized word-k-gram span hashes (the decontamination kernel — round 6:
+# shingle strings are exact text SPANS from first-word start to last-word
+# end, so one polynomial prefix hash over the concatenated byte buffer
+# yields every shingle hash with no per-row JVM expression work)
+# --------------------------------------------------------------------------
+
+_POLY_R = np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)        # odd multiplier
+# modular inverse of _POLY_R mod 2^64 (Newton iteration, computed once)
+_POLY_RINV = np.uint64(pow(int(_POLY_R), -1, 1 << 64))
+
+
+def word_shingle_hash_sets(texts, k: int = 3) -> list:
+    """Distinct word-k-gram hashes per text as int64 lists (one per text),
+    mirroring ``array_distinct(transform(sequence(...), concat_ws(' ',
+    slice(split(text, ' '), i, k))))`` + a 64-bit hash of each shingle.
+
+    Key identity: with a single-space split pattern, the joined shingle
+    ``concat_ws(' ', w_i..w_{i+k-1})`` is EXACTLY the substring of the
+    original text from w_i's first byte to w_{i+k-1}'s last byte (empty
+    words reproduce their double spaces) — so shingle hashes are substring
+    hashes, computed for every span at once from one polynomial prefix sum
+    over the concatenated buffer: H(s, e) = r^e * (S[e] - S[s]) mod 2^64
+    with S the prefix sum of byte[j] * r^{-(j+1)}, then splitmix64-
+    finalized (r odd → r invertible mod 2^64, which is what turns the
+    sequential Horner scan into two vectorized prefix scans).
+
+    Texts with fewer than ``k`` words return an empty list (the
+    ``size(words) >= k`` guard).  The hash differs from xxhash64 — callers
+    use these keys for equality/distinct-ness only, where any 64-bit hash
+    family is interchangeable (same ~1e-9 collision budget the oracle
+    already accepts for xxhash64).
+    """
+    m = len(texts)
+    bs = [(t or "").encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=m)
+    off = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    T = buf.size
+
+    # prefix machinery: S[i] = sum_{j<i} b[j] * rinv^{j+1};  pw_r[i] = r^i
+    rinv_pows = np.empty(T + 1, dtype=np.uint64)
+    rinv_pows[0] = 1
+    if T:
+        rinv_pows[1:] = _POLY_RINV
+        np.cumprod(rinv_pows[1:], out=rinv_pows[1:])
+    S = np.zeros(T + 1, dtype=np.uint64)
+    if T:
+        np.cumsum(buf.astype(np.uint64) * rinv_pows[1:], out=S[1:])
+    r_pows = np.empty(T + 1, dtype=np.uint64)
+    r_pows[0] = 1
+    if T:
+        r_pows[1:] = _POLY_R
+        np.cumprod(r_pows[1:], out=r_pows[1:])
+
+    # word starts (split(' ') semantics, empties included): position off[d]
+    # for every doc — even an empty doc has its single empty word — plus
+    # every space+1 position, which belongs to the SAME doc as the space
+    # (a trailing space yields a trailing empty word starting at the doc
+    # end).  No position can repeat: space+1 > off[d] within a doc, and
+    # cross-doc entries carry different doc ids.
+    space = np.flatnonzero(buf == 0x20)
+    space_doc = np.searchsorted(off, space, side="right") - 1
+    ws_all = np.concatenate([off[:-1], space + 1])
+    ds_all = np.concatenate([np.arange(m, dtype=np.int64), space_doc])
+    order = np.lexsort((ws_all, ds_all))
+    ws_sorted = ws_all[order]
+    ds_sorted = ds_all[order]
+    n_words = np.bincount(ds_sorted, minlength=m)
+    sh_counts = np.maximum(n_words - k + 1, 0)
+    # per-doc offsets into the sorted word-start array
+    woff = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(n_words, out=woff[1:])
+    total_sh = int(sh_counts.sum())
+    out: list = []
+    if total_sh:
+        # global shingle index: for doc d, shingle j: span start =
+        # ws[woff[d]+j], span end = ws[woff[d]+j+k] - 1 if j+k < n_words[d]
+        # else off[d+1]
+        doc_rep = np.repeat(np.arange(m, dtype=np.int64), sh_counts)
+        base = np.repeat(woff[:-1], sh_counts)
+        jidx = (np.arange(total_sh, dtype=np.int64)
+                - np.repeat(np.concatenate(([0], np.cumsum(sh_counts)[:-1])),
+                            sh_counts))
+        s_pos = ws_sorted[base + jidx]
+        last = jidx + k == np.repeat(n_words, sh_counts)
+        e_pos = np.empty(total_sh, dtype=np.int64)
+        nz = ~last
+        e_pos[nz] = ws_sorted[(base + jidx + k)[nz]] - 1
+        e_pos[last] = np.repeat(off[1:], sh_counts)[last]
+        h = (S[e_pos] - S[s_pos]) * r_pows[e_pos]
+        # length folds in via the span width (polynomial hashes of unequal
+        # lengths rarely collide with r odd; the splitmix finalizer
+        # decorrelates the raw polynomial structure)
+        h = _mix64(h ^ (np.uint64(0xC2B2AE3D27D4EB4F) *
+                        (e_pos - s_pos).astype(np.uint64)))
+        # per-doc sorted unique
+        ordr = np.lexsort((h, doc_rep))
+        sv, sd = h[ordr], doc_rep[ordr]
+        keep = np.ones(sv.size, dtype=bool)
+        keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        uv = sv[keep].view(np.int64)
+        ucnt = np.bincount(sd[keep], minlength=m)
+        uoff = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(ucnt, out=uoff[1:])
+        for i in range(m):
+            out.append(uv[uoff[i]: uoff[i + 1]].tolist())
+    else:
+        out = [[] for _ in range(m)]
+    return out
+
+
+def with_word_shingle_hashes(df, text_col: str, out_col: str = "sh",
+                             k: int = 3):
+    """array<bigint> column of distinct word-k-gram hashes (vectorized
+    pandas UDF over :func:`word_shingle_hash_sets`)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sh_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(word_shingle_hash_sets(s.tolist(), k))
+
+    return df.withColumn(out_col, sh_udf(F.col(text_col)))
+
+
+# --------------------------------------------------------------------------
 # exact n-gram Jaccard (verification of MinHash estimates)
 # --------------------------------------------------------------------------
 

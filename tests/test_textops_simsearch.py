@@ -401,3 +401,89 @@ def test_wide_shingle_keys_are_position_dependent():
     ka, _, _ = _shingle_keys([a], shingle=9)
     kb, _, _ = _shingle_keys([b], shingle=9)
     assert not np.array_equal(ka, kb)
+
+
+def test_char_ngram_key_sets_match_string_sets():
+    """Round-6 kernel: injective packed keys — intersection/union sizes must
+    EQUAL the raw string-set sizes, including short/empty texts, repeated
+    shingles, and wide (non-ASCII) code points."""
+    from colonnade_spark.textops import char_ngram_key_sets
+
+    texts = ["hello world abc", "hi", "", "aaaaaa", "abcabcabc", "x" * 4,
+             "hello world abd", chr(5000) * 7 + "abc", "café au lait x",
+             "hello world abc"]
+    got = char_ngram_key_sets(texts, 5)
+    ref = []
+    for t in texts:
+        cnt = max(len(t) - 4, 1)
+        ref.append({t[i: i + 5] for i in range(cnt)})
+    for g, r in zip(got, ref):
+        assert g.size == len(r)
+        assert np.unique(g).size == g.size          # sorted unique contract
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            ni = int(np.intersect1d(got[i], got[j], assume_unique=True).size)
+            assert ni == len(ref[i] & ref[j]), (i, j)
+
+
+def test_word_shingle_hash_sets_match_reference():
+    """Round-6 kernel: span hashes must reproduce split(' ')/concat_ws
+    word-3-gram distinct sets — including empty docs, leading/trailing and
+    double spaces (empty words), and cross-doc equality of equal shingles."""
+    from colonnade_spark.textops import word_shingle_hash_sets
+
+    texts = ["a b c d e", "a b", "", "x  y z", "a b c",
+             "one two three four", "trail space x ", " lead sp y",
+             "a b c a b c a b c", "sp  dbl  sp x", "a " * 5, "  ", "q w e"]
+
+    def ref_sets(ts, k=3):
+        out = []
+        for t in ts:
+            words = t.split(" ")
+            if len(words) >= k:
+                out.append({" ".join(words[i: i + k])
+                            for i in range(len(words) - k + 1)})
+            else:
+                out.append(set())
+        return out
+
+    got = word_shingle_hash_sets(texts, 3)
+    ref = ref_sets(texts)
+    for g, r, t in zip(got, ref, texts):
+        assert len(g) == len(r), repr(t)
+    # cross-doc equality: "a b c" is a shingle of texts[0], [4] and [8]
+    g0, g4, g8 = set(got[0]), set(got[4]), set(got[8])
+    assert len(g4) == 1 and g4 < g0 and g4 < g8
+    # and inequality: disjoint docs share nothing
+    assert not (set(got[12]) & g0)
+
+
+def test_adjacent_jaccard_kernel_handles_batch_and_block_boundaries(spark):
+    """The mapInArrow pairing must survive arrow-batch splits and block
+    boundaries (the duplicated boundary row) — exercised with a tiny
+    maxRecordsPerBatch via a locally-built frame and compared to a pure-
+    python reference over the same texts."""
+    from colonnade_spark.queries import q_ngram_jaccard
+    import os
+    import tempfile
+
+    rows = [(i, f"text number {i} with shared tail {'x' * (i % 7)}")
+            for i in range(0, 2060)]          # spans two 1024-blocks + a gap
+    rows = [r for r in rows if r[0] != 1500]  # id gap: no pair 1499/1500
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id bigint, text string") \
+            .coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["id_a"]: (r["n_inter"], r["n_union"], r["jaccard_milli"])
+               for r in q_ngram_jaccard(spark, d).collect()}
+    txt = dict(rows)
+
+    def sets(t):
+        return {t[i: i + 5] for i in range(max(len(t) - 4, 1))}
+
+    expect = {}
+    for i, t in rows:
+        if i + 1 in txt:
+            a, b = sets(t), sets(txt[i + 1])
+            ni, nu = len(a & b), len(a | b)
+            expect[i] = (ni, nu, ni * 1000 // nu)
+    assert out == expect
