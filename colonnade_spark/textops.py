@@ -247,30 +247,22 @@ def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
     band_arr = F.array(*[
         F.hash(F.slice("sig", i * rows + 1, rows)).cast("long").alias(f"b{i}")
         for i in range(bands)])
-    # bands carry IDS ONLY: exploding the 64-long signature 16x and shuffling
-    # it through the pair join would dominate the query; signatures re-join
-    # AFTER the candidate set is deduplicated
-    exploded = sigged.select(id_col, F.posexplode(band_arr).alias("band", "bh"))
-    # degenerate-bucket cap (scale guard)
-    bucket_sizes = (exploded.groupBy("band", "bh")
-                    .agg(F.count("*").alias("bn"))
-                    .filter(F.col("bn").between(2, max_bucket)))
-    pruned = exploded.join(bucket_sizes, ["band", "bh"], "left_semi")
-    a = pruned.select(F.col(id_col).alias("id_a"), "band", "bh")
-    b = pruned.select(F.col(id_col).alias("id_b"), "band", "bh")
-    cand = (a.join(b, ["band", "bh"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"]))
-    sa = sigged.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigged.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    pairs = cand.join(sa, "id_a").join(sb, "id_b")
-    est = F.expr(f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
-                 f" / cast({n_hashes} as double)")
-    return (pairs.withColumn("est_jaccard", est)
-            .filter(F.col("est_jaccard") >= threshold)
-            .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
-                    "est_jaccard"))
+    # round 6: bands carry the member SIGNATURES into their bucket and one
+    # mapInArrow kernel generates + estimate-filters every in-bucket pair
+    # (minhash_bucket_pair_kernel) — the former ids-only explode → bucket
+    # self-join → dropDuplicates over ALL candidates → two signature
+    # re-joins shuffled the full candidate volume (12.6M pairs at sf1.0,
+    # bn<=200 buckets) three times; now one member shuffle + a survivors-
+    # only dedup.  The in-bucket id sort gives id_a < id_b; est is the
+    # same matches/n_hashes double, so the surviving pair set is identical.
+    exploded = sigged.select(F.col(id_col).cast("bigint").alias("id"), "sig",
+                             F.posexplode(band_arr).alias("band", "bh"))
+    shuffled = (exploded.repartition("band", "bh")
+                .sortWithinPartitions("band", "bh", "id"))
+    pairs = shuffled.mapInArrow(
+        minhash_bucket_pair_kernel(n_hashes, threshold, max_bucket),
+        "id_a bigint, id_b bigint, est_jaccard double")
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 # --------------------------------------------------------------------------
@@ -339,47 +331,46 @@ def simhash_pairs_from_sigs(df_sigged, id_col: str, sig_col: str = "simhash",
     # pairs), so re-deriving the 4-way chunk explode per consumer is a cheap
     # JVM-side scan of the materialized parquet, not a Python recompute
     exploded = df_sigged.select(
-        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(sig_col).alias("sig"),
         F.posexplode(chunks).alias("band", "bh"))
-    sizes = exploded.groupBy("band", "bh").agg(F.count("*").alias("bn"))
-    ok = sizes.filter(F.col("bn").between(2, max_bucket))
-    over = sizes.filter(F.col("bn") > max_bucket)
-
-    def pair_join(members, key_cols):
-        a = members.select(F.col("_id").alias("id_a"),
-                           F.col("_sig").alias("sig_a"), *key_cols)
-        b = members.select(F.col("_id").alias("id_b"),
-                           F.col("_sig").alias("sig_b"), *key_cols)
-        return (a.join(b, key_cols).filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b", "sig_a", "sig_b"))
-
-    level0 = pair_join(exploded.join(ok, ["band", "bh"], "left_semi"),
-                       ["band", "bh"])
+    # round 6: in-bucket pairs + hamming filter run inside one mapInArrow
+    # kernel (simhash_bucket_pair_kernel: xor + SWAR popcount) over the
+    # bucket-sorted member stream — the former bucket self-join +
+    # dropDuplicates shuffled the full candidate volume (65M pairs at
+    # sf1.0) before the hamming filter dropped nearly all of it.  The
+    # level-0 kernel sees EVERY bucket and applies the same 2..max_bucket
+    # cap in-stream (oversized runs emit nothing), so only the Manku
+    # refinement still needs the bucket-size aggregation to route
+    # oversized buckets' members.
+    shuffled = (exploded.repartition("band", "bh")
+                .sortWithinPartitions("band", "bh", "id"))
+    level0 = shuffled.mapInArrow(
+        simhash_bucket_pair_kernel(["band", "bh"], max_hamming, max_bucket),
+        "id_a bigint, id_b bigint, hamming int")
 
     # Manku split: members of oversized buckets get a refined key
     # (band, bh, band2, bh2) over the remaining chunks
+    sizes = exploded.groupBy("band", "bh").agg(F.count("*").alias("bn"))
+    over = sizes.filter(F.col("bn") > max_bucket)
     over_members = exploded.join(over, ["band", "bh"], "left_semi")
     chunks2 = F.array(*[
-        F.shiftright(F.col("_sig"), i * 16).bitwiseAND(F.lit(0xFFFF))
+        F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF))
          .cast("int").alias(f"d{i}") for i in range(4)])
     refined = (over_members
-               .select("_id", "_sig", "band", "bh",
+               .select("id", "sig", "band", "bh",
                        F.posexplode(chunks2).alias("band2", "bh2"))
                .filter(F.col("band2") != F.col("band")))
-    sizes2 = (refined.groupBy("band", "bh", "band2", "bh2")
-              .agg(F.count("*").alias("bn2"))
-              .filter(F.col("bn2").between(2, max_bucket)))
-    level1 = pair_join(refined.join(sizes2, ["band", "bh", "band2", "bh2"],
-                                    "left_semi"),
-                       ["band", "bh", "band2", "bh2"])
+    level1 = (refined.repartition("band", "bh", "band2", "bh2")
+              .sortWithinPartitions("band", "bh", "band2", "bh2", "id")
+              .mapInArrow(
+                  simhash_bucket_pair_kernel(["band", "bh", "band2", "bh2"],
+                                             max_hamming, max_bucket),
+                  "id_a bigint, id_b bigint, hamming int"))
 
-    pairs = (level0.unionByName(level1)
-             .dropDuplicates(["id_a", "id_b"]))
-    ham = F.expr("bit_count(sig_a ^ sig_b)")
-    return (pairs.withColumn("hamming", ham.cast("int"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
-                    "hamming"))
+    return (level0.unionByName(level1)
+            .dropDuplicates(["id_a", "id_b"])
+            .select(F.col("id_a"), F.col("id_b"), "hamming"))
 
 
 def simhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
@@ -634,6 +625,261 @@ def with_winnow_fingerprints(df, text_col: str, fp_col: str = "fps",
         return pd.Series(winnow_batch(s.tolist(), shingle, window))
 
     return _spread(df).withColumn(fp_col, fp_udf(F.col(text_col)))
+
+
+# --------------------------------------------------------------------------
+# in-bucket pair kernels (round 6): LSH candidate pairs are generated AND
+# metric-filtered inside one mapInArrow pass over the bucket-sorted stream,
+# so only metric-passing pairs ever reach a shuffle.  The former shape —
+# bucket self-join → dropDuplicates over EVERY candidate → signature
+# re-join → metric filter — shuffled the full candidate volume (12.6M rows
+# minhash / 65M simhash at sf1.0) three times; the kernel shuffles the
+# exploded members once and survivors (~1e4-1e5 rows) once.
+# --------------------------------------------------------------------------
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy < 2.0 has no bitwise_count).
+    Multiply runs on the int64 view (SIMD path, same bits mod 2^64)."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    xi = x.view(np.int64)
+    np.multiply(xi, _i64(0x0101010101010101), out=xi)
+    return (x >> np.uint64(56)).astype(np.int64)
+
+
+def _intra_bucket_pair_chunks(counts: np.ndarray, max_pairs: int = 1 << 21):
+    """Yield ``(I, J)`` row-index chunks covering every unordered intra-
+    bucket pair (i < j, rows bucket-contiguous as described by ``counts``).
+
+    Small buckets are batched into one vectorized construction per ~
+    ``max_pairs`` pairs (no per-bucket numpy dispatch — the minhash regime:
+    hundreds of thousands of buckets averaging ~4 members); a bucket whose
+    own pair count exceeds ``max_pairs`` is emitted in row strips (the
+    simhash near-cap regime: one 10k bucket is 50M pairs — never
+    materialized at once)."""
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    buf: list = []          # (start, count) of buffered small buckets
+    buf_pairs = 0
+
+    def flush():
+        nonlocal buf, buf_pairs
+        if not buf:
+            return None
+        s = np.array([b[0] for b in buf], dtype=np.int64)
+        c = np.array([b[1] for b in buf], dtype=np.int64)
+        ends_of_row = np.repeat(s + c, c)
+        rows = np.concatenate(
+            [np.arange(si, si + ci, dtype=np.int64) for si, ci in buf]) \
+            if len(buf) < 1024 else _ranges(s, c)
+        a = ends_of_row - rows - 1                    # partners after row
+        P = int(a.sum())
+        I = np.repeat(rows, a)
+        astart = np.zeros(a.size, dtype=np.int64)
+        np.cumsum(a[:-1], out=astart[1:])
+        t = np.arange(P, dtype=np.int64) - np.repeat(astart, a)
+        J = I + 1 + t
+        buf, buf_pairs = [], 0
+        return I, J
+
+    for k, c in enumerate(counts):
+        c = int(c)
+        if c < 2:
+            continue
+        p = c * (c - 1) // 2
+        if p > max_pairs:
+            out = flush()
+            if out is not None:
+                yield out
+            s0 = int(starts[k])
+            strip = max(1, max_pairs // max(c - 1, 1))
+            for a0 in range(0, c - 1, strip):
+                a1 = min(a0 + strip, c - 1)
+                rows = np.arange(s0 + a0, s0 + a1, dtype=np.int64)
+                cnt = (s0 + c) - rows - 1
+                P = int(cnt.sum())
+                I = np.repeat(rows, cnt)
+                astart = np.zeros(cnt.size, dtype=np.int64)
+                np.cumsum(cnt[:-1], out=astart[1:])
+                t = np.arange(P, dtype=np.int64) - np.repeat(astart, cnt)
+                yield I, I + 1 + t
+            continue
+        buf.append((int(starts[k]), c))
+        buf_pairs += p
+        if buf_pairs >= max_pairs:
+            out = flush()
+            if out is not None:
+                yield out
+    out = flush()
+    if out is not None:
+        yield out
+
+
+def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenated aranges [s, s+c) — vectorized (no per-bucket python)."""
+    total = int(counts.sum())
+    off = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=off[1:])
+    return (np.repeat(starts - off, counts)
+            + np.arange(total, dtype=np.int64))
+
+
+def _run_groups(batches, key_cols: list, payload_cols: list,
+                drop_over: int | None = None):
+    """Stream complete key-runs from a (key-sorted) arrow batch iterator.
+
+    Yields ``(counts, payload_arrays)`` blocks where rows are bucket-
+    contiguous: all rows of a (composite) key are adjacent and fully
+    contained in the block — the tail run of each batch is carried until
+    the key changes, so a bucket split across arrow batches is never
+    processed partially.  ``payload_arrays`` is a dict col -> numpy array
+    (list<int64> columns come back flattened as (n, width)).
+
+    ``drop_over``: when set, a carried tail run keeps at most
+    ``drop_over + 1`` payload rows (the overflow rows are discarded, so
+    the run is reported with drop_over + 1 rows — still above the cap).
+    Such a run's payload is incomplete, which is sound only because every
+    consumer drops runs larger than ``drop_over`` — it bounds the carry
+    memory at O(drop_over), so a degenerate bucket (one band value owning
+    the corpus) cannot accumulate a partition's worth of rows in one
+    task.  A truncated run that keeps growing is re-truncated each batch
+    and always stays above the cap, so it can never be mistaken for a
+    processable bucket."""
+    pend: dict | None = None
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        keys = np.stack([batch.column(c).to_numpy(zero_copy_only=False)
+                         .astype(np.int64) for c in key_cols])
+        payload = {}
+        for c in payload_cols:
+            col = batch.column(c)
+            if pa_types_is_list(col):
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                n_rows = len(col)
+                if n_rows and flat.size % n_rows:
+                    raise ValueError(f"ragged list column {c!r}")
+                width = flat.size // n_rows if n_rows else 0
+                payload[c] = flat.reshape(n_rows, width)
+            else:
+                payload[c] = col.to_numpy(zero_copy_only=False)
+        # run boundaries within this batch
+        change = np.zeros(batch.num_rows, dtype=bool)
+        change[0] = True
+        for k in keys:
+            change[1:] |= k[1:] != k[:-1]
+        if pend is not None:
+            same_first = all(
+                pk[-1] == k[0] for pk, k in zip(pend["keys"], keys))
+            if same_first:
+                change[0] = False
+            keys = np.concatenate([pend["keys"], keys], axis=1)
+            change = np.concatenate([pend["change"], change])
+            payload = {c: np.concatenate([pend["payload"][c], payload[c]])
+                       for c in payload}
+        n = keys.shape[1]
+        bounds = np.flatnonzero(change)             # always starts with 0
+        cut = int(bounds[-1]) if bounds[-1] > 0 else 0
+        if cut > 0:
+            head_counts = np.diff(np.append(bounds[bounds < cut], cut))
+            yield head_counts, {c: v[:cut] for c, v in payload.items()}
+        pend = {"keys": keys[:, cut:],
+                "change": change[cut:].copy(),
+                "payload": {c: v[cut:] for c, v in payload.items()}}
+        pend["change"][0] = True
+        if drop_over is not None and n - cut > drop_over + 1:
+            keep_n = drop_over + 1
+            pend["keys"] = pend["keys"][:, :keep_n]
+            pend["change"] = pend["change"][:keep_n]
+            pend["payload"] = {c: v[:keep_n]
+                               for c, v in pend["payload"].items()}
+    if pend is not None and pend["keys"].shape[1]:
+        bounds = np.flatnonzero(pend["change"])
+        counts = np.diff(np.append(bounds, pend["keys"].shape[1]))
+        yield counts, pend["payload"]
+
+
+def pa_types_is_list(col) -> bool:
+    import pyarrow as patypes
+
+    return (patypes.types.is_list(col.type)
+            or patypes.types.is_large_list(col.type))
+
+
+def minhash_bucket_pair_kernel(n_hashes: int, threshold: float,
+                               max_bucket: int):
+    """mapInArrow kernel over (band, bh, id, sig) sorted by (band, bh, id):
+    per bucket of 2..max_bucket members, every pair's signature-agreement
+    estimate ``matches / n_hashes`` is computed vectorized and only pairs
+    with est >= threshold are emitted (id_a < id_b via the in-bucket id
+    sort).  Buckets outside [2, max_bucket] emit nothing — the same
+    degenerate-bucket cap the bucket_sizes semi-join used to apply."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                                ("est_jaccard", pa.float64())])
+        for counts, payload in _run_groups(batches, ["band", "bh"],
+                                           ["id", "sig"],
+                                           drop_over=max_bucket):
+            keep = (counts >= 2) & (counts <= max_bucket)
+            if not keep.any():
+                continue
+            starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            rows = _ranges(starts[:-1][keep], counts[keep])
+            ids = payload["id"][rows]
+            sig = payload["sig"][rows]
+            for I, J in _intra_bucket_pair_chunks(counts[keep]):
+                m = np.zeros(I.size, dtype=np.int64)
+                for k in range(sig.shape[1]):
+                    m += sig[I, k] == sig[J, k]
+                est = m / float(n_hashes)
+                ok = est >= threshold
+                if ok.any():
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(ids[I[ok]]), pa.array(ids[J[ok]]),
+                         pa.array(est[ok])], schema=out_schema)
+
+    return kernel
+
+
+def simhash_bucket_pair_kernel(key_cols: list, max_hamming: int,
+                               max_bucket: int):
+    """mapInArrow kernel over (*key_cols, id, sig) sorted by (*key_cols,
+    id): per bucket of 2..max_bucket members, pairwise hamming distance
+    (xor + SWAR popcount) with only pairs <= max_hamming emitted."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                                ("hamming", pa.int32())])
+        for counts, payload in _run_groups(batches, key_cols, ["id", "sig"],
+                                           drop_over=max_bucket):
+            keep = (counts >= 2) & (counts <= max_bucket)
+            if not keep.any():
+                continue
+            starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            rows = _ranges(starts[:-1][keep], counts[keep])
+            ids = payload["id"][rows]
+            sig = payload["sig"][rows].astype(np.int64).view(np.uint64)
+            for I, J in _intra_bucket_pair_chunks(counts[keep]):
+                ham = _popcount64(sig[I] ^ sig[J])
+                ok = ham <= max_hamming
+                if ok.any():
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(ids[I[ok]]), pa.array(ids[J[ok]]),
+                         pa.array(ham[ok].astype(np.int32))],
+                        schema=out_schema)
+
+    return kernel
 
 
 # --------------------------------------------------------------------------

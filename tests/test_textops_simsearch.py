@@ -487,3 +487,113 @@ def test_adjacent_jaccard_kernel_handles_batch_and_block_boundaries(spark):
             ni, nu = len(a & b), len(a | b)
             expect[i] = (ni, nu, ni * 1000 // nu)
     assert out == expect
+
+
+def test_run_groups_truncates_oversized_carry():
+    """A bucket far above the cap that spans many arrow batches must not
+    accumulate in the carry: its payload is truncated to drop_over + 1 rows
+    (still above the cap, so consumers drop it) and every OTHER bucket's
+    rows come through complete and correctly aligned."""
+    import pyarrow as pa
+    from colonnade_spark.textops import _run_groups
+
+    # bucket 0: 3 rows | bucket 1: 30 rows (oversized) | bucket 2: 4 rows
+    bh = [0] * 3 + [1] * 30 + [2] * 4
+    ids = list(range(len(bh)))
+    batches = [pa.RecordBatch.from_arrays(
+        [pa.array([0] * len(chunk), type=pa.int32()),
+         pa.array(chunk, type=pa.int32()),
+         pa.array(ids[i: i + len(chunk)], type=pa.int64())],
+        names=["band", "bh", "id"])
+        for i, chunk in ((i, bh[i: i + 5]) for i in range(0, len(bh), 5))]
+    got = list(_run_groups(iter(batches), ["band", "bh"], ["id"],
+                           drop_over=8))
+    runs = []
+    for counts, payload in got:
+        at = 0
+        for c in counts:
+            runs.append((int(c), payload["id"][at: at + int(c)].tolist()))
+            at += int(c)
+    by_rows = {}
+    for c, r in runs:
+        by_rows.setdefault(r[0], (c, r))
+    assert by_rows[0] == (3, [0, 1, 2])                 # bucket 0 complete
+    assert by_rows[33][0] == 4 and by_rows[33][1] == [33, 34, 35, 36]
+    over = by_rows[3]
+    # the carry is truncated to drop_over+1 rows; the closing batch may
+    # append up to one batch of rows before the boundary — the invariant
+    # is the reported size stays ABOVE the cap (consumers drop it) and the
+    # carry memory is bounded by drop_over + batch size, not the run size
+    assert over[0] > 8 and len(over[1]) <= 9 + 5
+
+
+def test_bucket_pair_kernels_match_bruteforce():
+    """minhash/simhash pair kernels vs brute force over synthetic buckets,
+    including a bucket big enough to hit the strip path."""
+    import pyarrow as pa
+    from colonnade_spark.textops import (minhash_bucket_pair_kernel,
+                                         simhash_bucket_pair_kernel,
+                                         _popcount64)
+
+    rng = np.random.default_rng(7)
+    sizes = [2, 5, 1, 3, 120, 4]              # 1-member bucket emits nothing
+    band, bh, ids, sigs = [], [], [], []
+    i0 = 0
+    for b, s in enumerate(sizes):
+        band += [b % 3] * s
+        bh += [b] * s
+        ids += list(range(i0, i0 + s))
+        i0 += s
+        sigs += [rng.integers(0, 4, 64).tolist() for _ in range(s)]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(band, type=pa.int32()), pa.array(bh, type=pa.int32()),
+         pa.array(ids, type=pa.int64()),
+         pa.array(sigs, type=pa.list_(pa.int64()))],
+        names=["band", "bh", "id", "sig"])
+    out = list(minhash_bucket_pair_kernel(64, 0.3, 100)(iter([batch])))
+    got = set()
+    for b in out:
+        for r in range(b.num_rows):
+            got.add((b.column(0)[r].as_py(), b.column(1)[r].as_py(),
+                     b.column(2)[r].as_py()))
+    expect = set()
+    at = 0
+    for s in sizes:
+        if 2 <= s <= 100:
+            for i in range(at, at + s):
+                for j in range(i + 1, at + s):
+                    m = sum(1 for k in range(64) if sigs[i][k] == sigs[j][k])
+                    if m / 64.0 >= 0.3:
+                        expect.add((ids[i], ids[j], m / 64.0))
+        at += s
+    assert got == expect and len(expect) > 0
+
+    ssig = rng.integers(-2**62, 2**62, len(ids)).tolist()
+    sbatch = pa.RecordBatch.from_arrays(
+        [pa.array(band, type=pa.int32()), pa.array(bh, type=pa.int32()),
+         pa.array(ids, type=pa.int64()), pa.array(ssig, type=pa.int64())],
+        names=["band", "bh", "id", "sig"])
+    sout = list(simhash_bucket_pair_kernel(["band", "bh"], 34, 100)(
+        iter([sbatch])))
+    sgot = set()
+    for b in sout:
+        for r in range(b.num_rows):
+            sgot.add((b.column(0)[r].as_py(), b.column(1)[r].as_py(),
+                      b.column(2)[r].as_py()))
+    sexpect = set()
+    at = 0
+    for s in sizes:
+        if 2 <= s <= 100:
+            for i in range(at, at + s):
+                for j in range(i + 1, at + s):
+                    h = bin(ssig[i] ^ ssig[j] & (2**64 - 1)
+                            if False else (ssig[i] ^ ssig[j]) & (2**64 - 1)
+                            ).count("1")
+                    if h <= 34:
+                        sexpect.add((ids[i], ids[j], h))
+        at += s
+    assert sgot == sexpect and len(sexpect) > 0
+    # SWAR popcount sanity
+    xs = rng.integers(0, 2**63, 1000).astype(np.uint64)
+    assert all(int(p) == bin(int(x)).count("1")
+               for p, x in zip(_popcount64(xs.copy()), xs))
