@@ -630,19 +630,38 @@ FROM d
 def q_doc_repetition(spark, sf_dir):
     """Repetition quality signals (the Gopher/Dolma filter family): per
     document, word-level duplication fraction and the most-frequent-word
-    share, in integer milli-units.  Shape: explode + two-level groupBy —
-    both aggregations are partial+final, keys are (doc_id, word) then
-    doc_id, so the shuffle is by document (no global hotspot)."""
+    share, in integer milli-units.
+
+    Round 6 (guide §4.2): the word statistics come from one vectorized
+    Arrow kernel (textops.word_count_stats — word span hashes, one lexsort
+    + run-length pass), replacing the explode + two shuffled aggregations
+    (the explode shipped every word through a (doc_id, word) shuffle just
+    to count it; the kernel is shuffle-free).  Word equality is 64-bit
+    hash equality — same ~1e-9 collision budget as the shingle kernels;
+    the oracle still counts raw strings."""
     from pyspark.sql import functions as F
 
+    from .textops import word_count_stats
+
     docs = _read(spark, sf_dir, "documents")
-    w = (docs.select(F.col("doc_id").cast("bigint"),
-                     F.explode(F.split("text", " ")).alias("word"))
-         .groupBy("doc_id", "word").agg(F.count("*").alias("c")))
-    return (w.groupBy("doc_id")
-            .agg(F.sum("c").cast("bigint").alias("n_words"),
-                 F.count("*").cast("bigint").alias("n_distinct"),
-                 F.max("c").cast("bigint").alias("top_count"))
+
+    def stats(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema([
+            ("doc_id", pa.int64()), ("n_words", pa.int64()),
+            ("n_distinct", pa.int64()), ("top_count", pa.int64())])
+        for batch in batches:
+            r = word_count_stats(batch.column("text").to_pylist())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id").cast(pa.int64()),
+                 pa.array(r["n_words"]), pa.array(r["n_distinct"]),
+                 pa.array(r["top_count"])], schema=out_schema)
+
+    w = docs.select(F.col("doc_id").cast("bigint"), "text").mapInArrow(
+        stats,
+        "doc_id bigint, n_words bigint, n_distinct bigint, top_count bigint")
+    return (w
             .select("doc_id", "n_words", "n_distinct", "top_count",
                     F.floor((F.col("n_words") - F.col("n_distinct")) * 1000
                             / F.col("n_words")).cast("bigint")
@@ -924,17 +943,21 @@ def q_ann_topk(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     dbl = "transform(embedding, x -> cast(x as double))"
-    q = emb.filter("vec_id < 10").select(
-        F.col("vec_id").alias("qid"), F.expr(dbl).alias("qe"))
-    c = emb.filter("vec_id >= 10").select(
-        F.col("vec_id").alias("nid"), F.expr(dbl).alias("ce"))
-    dot = ("aggregate(zip_with(qe, ce, (x, y) -> x * y), cast(0.0 as double),"
-           " (a, b) -> a + b)")
-    nrm = ("sqrt(aggregate(zip_with(qe, qe, (x, y) -> x * y), cast(0.0 as double),"
-           " (a, b) -> a + b) * aggregate(zip_with(ce, ce, (x, y) -> x * y),"
-           " cast(0.0 as double), (a, b) -> a + b))")
+    agg = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+           " cast(0.0 as double), (a, b) -> a + b)")
+    # self-norms hoisted to one aggregate per ROW before the cross join —
+    # the per-pair form re-paid both 64-element folds per (q, c) pair (3x
+    # the HOF work); sqrt(qn2 * cn2) over the same doubles is value-
+    # identical (round 6)
+    q = (emb.filter("vec_id < 10").select(
+            F.col("vec_id").alias("qid"), F.expr(dbl).alias("qe"))
+         .withColumn("qn2", F.expr(agg.format(a="qe", b="qe"))))
+    c = (emb.filter("vec_id >= 10").select(
+            F.col("vec_id").alias("nid"), F.expr(dbl).alias("ce"))
+         .withColumn("cn2", F.expr(agg.format(a="ce", b="ce"))))
+    dot = agg.format(a="qe", b="ce")
     j = (c.crossJoin(F.broadcast(q))
-         .withColumn("sim", F.expr(f"({dot}) / ({nrm})")))
+         .withColumn("sim", F.expr(f"({dot}) / sqrt(qn2 * cn2)")))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (j.withColumn("rank", F.row_number().over(w))
             .filter("rank <= 5")

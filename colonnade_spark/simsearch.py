@@ -97,14 +97,18 @@ def brute_force_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    q = queries_df.select(F.col(id_col).alias("qid"),
-                          F.expr(_dbl(vec_col)).alias("qe"))
-    c = corpus_df.select(F.col(id_col).alias("nid"),
-                         F.expr(_dbl(vec_col)).alias("ce"))
+    # self-norms are hoisted to one aggregate per ROW before the join —
+    # the per-pair form re-paid both 64-element folds for every (q, c)
+    # pair (3x the HOF work); sqrt((nq)*(nc)) over the same doubles is
+    # value-identical (round 6, guide §2.3 project-before-exchange)
+    q = (queries_df.select(F.col(id_col).alias("qid"),
+                           F.expr(_dbl(vec_col)).alias("qe"))
+         .withColumn("qn2", F.expr(_DOT.format(a="qe", b="qe"))))
+    c = (corpus_df.select(F.col(id_col).alias("nid"),
+                          F.expr(_dbl(vec_col)).alias("ce"))
+         .withColumn("cn2", F.expr(_DOT.format(a="ce", b="ce"))))
     dot = _DOT.format(a="qe", b="ce")
-    nq = _DOT.format(a="qe", b="qe")
-    nc = _DOT.format(a="ce", b="ce")
-    sim = F.expr(f"({dot}) / sqrt(({nq}) * ({nc}))")
+    sim = F.expr(f"({dot}) / sqrt(qn2 * cn2)")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (c.crossJoin(F.broadcast(q)).withColumn("sim", sim)
             .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -125,19 +129,20 @@ def lsh_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
         sig = with_lsh_signature(df.select(F.col(id_col).alias(f"{prefix}id"),
                                            F.expr(_dbl(vec_col)).alias(f"{prefix}e")),
                                  f"{prefix}e", dim, n_bits)
+        # self-norm once per row, not per candidate pair (see brute_force)
+        sig = sig.withColumn(
+            f"{prefix}n2", F.expr(_DOT.format(a=f"{prefix}e", b=f"{prefix}e")))
         bandcols = F.array(*[
             F.shiftright(F.col("lsh_sig"), i * rb).bitwiseAND(F.lit(mask))
             for i in range(bands)])
-        return sig.select(f"{prefix}id", f"{prefix}e",
+        return sig.select(f"{prefix}id", f"{prefix}e", f"{prefix}n2",
                           F.posexplode(bandcols).alias("band", "bh"))
 
     qb, cb = banded(queries_df, "q"), banded(corpus_df, "c")
     cand = (cb.join(F.broadcast(qb), ["band", "bh"])
             .dropDuplicates(["qid", "cid"]))
     dot = _DOT.format(a="qe", b="ce")
-    nq = _DOT.format(a="qe", b="qe")
-    nc = _DOT.format(a="ce", b="ce")
-    sim = F.expr(f"({dot}) / sqrt(({nq}) * ({nc}))")
+    sim = F.expr(f"({dot}) / sqrt(qn2 * cn2)")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (cand.withColumn("sim", sim)
             .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -276,17 +281,18 @@ def ivf_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
         corpus_df.select(F.col(id_col).alias("nid"),
                          F.expr(_dbl(vec_col)).alias("ce")),
         "ce", centroids, n_probe=1)
-    c = c.select("nid", "ce", F.col("cells")[0].alias("cell"))
+    c = (c.select("nid", "ce", F.col("cells")[0].alias("cell"))
+         .withColumn("cn2", F.expr(_DOT.format(a="ce", b="ce"))))
     q = with_ivf_cell(
         queries_df.select(F.col(id_col).alias("qid"),
                           F.expr(_dbl(vec_col)).alias("qe")),
         "qe", centroids, n_probe=n_probe)
-    q = q.select("qid", "qe", F.explode("cells").alias("cell"))
+    q = (q.select("qid", "qe", F.explode("cells").alias("cell"))
+         .withColumn("qn2", F.expr(_DOT.format(a="qe", b="qe"))))
     cand = c.join(F.broadcast(q), "cell")
     dot = _DOT.format(a="qe", b="ce")
-    nq = _DOT.format(a="qe", b="qe")
-    nc = _DOT.format(a="ce", b="ce")
-    sim = F.expr(f"({dot}) / sqrt(({nq}) * ({nc}))")
+    # self-norm once per row, not per candidate pair (see brute_force)
+    sim = F.expr(f"({dot}) / sqrt(qn2 * cn2)")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (cand.withColumn("sim", sim)
             .withColumn("rank", F.row_number().over(w))

@@ -1050,6 +1050,61 @@ def word_shingle_hash_sets(texts, k: int = 3) -> list:
     already accepts for xxhash64).
     """
     m = len(texts)
+    h, doc_rep, _n_words = _word_span_hashes(texts, k)
+    out: list = []
+    if h.size:
+        # per-doc sorted unique
+        ordr = np.lexsort((h, doc_rep))
+        sv, sd = h[ordr], doc_rep[ordr]
+        keep = np.ones(sv.size, dtype=bool)
+        keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        uv = sv[keep].view(np.int64)
+        ucnt = np.bincount(sd[keep], minlength=m)
+        uoff = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(ucnt, out=uoff[1:])
+        for i in range(m):
+            out.append(uv[uoff[i]: uoff[i + 1]].tolist())
+    else:
+        out = [[] for _ in range(m)]
+    return out
+
+
+def word_count_stats(texts) -> dict:
+    """Per-text word statistics over split(' ') words (empties included):
+    ``n_words`` (total), ``n_distinct`` (distinct words), ``top_count``
+    (highest single-word frequency) — the Gopher/Dolma repetition-signal
+    inputs, computed from the word span hashes (k=1) with one lexsort +
+    run-length pass instead of an explode + two shuffled aggregations.
+    Word equality is hash equality (same collision budget as the shingle
+    kernels)."""
+    m = len(texts)
+    h, doc_rep, n_words = _word_span_hashes(texts, 1)
+    n_distinct = np.zeros(m, dtype=np.int64)
+    top_count = np.zeros(m, dtype=np.int64)
+    if h.size:
+        ordr = np.lexsort((h, doc_rep))
+        sv, sd = h[ordr], doc_rep[ordr]
+        is_start = np.ones(sv.size, dtype=bool)
+        is_start[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        starts = np.flatnonzero(is_start)
+        run_len = np.diff(np.append(starts, sv.size))
+        run_doc = sd[starts]
+        n_distinct = np.bincount(run_doc, minlength=m)
+        # max run length per doc: runs are doc-contiguous after the lexsort
+        roff = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(n_distinct, out=roff[1:])
+        nz = n_distinct > 0
+        top_count[nz] = np.maximum.reduceat(run_len, roff[:-1][nz])
+    return {"n_words": n_words.astype(np.int64), "n_distinct": n_distinct,
+            "top_count": top_count}
+
+
+def _word_span_hashes(texts, k: int):
+    """Shared machinery of the word-span kernels: the (non-distinct) hash
+    of every word-k-gram span, with its doc index and per-doc word counts.
+    Returns ``(h, doc_rep, n_words)``; see :func:`word_shingle_hash_sets`
+    for the span-hash identity."""
+    m = len(texts)
     bs = [(t or "").encode("utf-8") for t in texts]
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=m)
     off = np.zeros(m + 1, dtype=np.int64)
@@ -1091,7 +1146,6 @@ def word_shingle_hash_sets(texts, k: int = 3) -> list:
     woff = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(n_words, out=woff[1:])
     total_sh = int(sh_counts.sum())
-    out: list = []
     if total_sh:
         # global shingle index: for doc d, shingle j: span start =
         # ws[woff[d]+j], span end = ws[woff[d]+j+k] - 1 if j+k < n_words[d]
@@ -1113,20 +1167,9 @@ def word_shingle_hash_sets(texts, k: int = 3) -> list:
         # decorrelates the raw polynomial structure)
         h = _mix64(h ^ (np.uint64(0xC2B2AE3D27D4EB4F) *
                         (e_pos - s_pos).astype(np.uint64)))
-        # per-doc sorted unique
-        ordr = np.lexsort((h, doc_rep))
-        sv, sd = h[ordr], doc_rep[ordr]
-        keep = np.ones(sv.size, dtype=bool)
-        keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
-        uv = sv[keep].view(np.int64)
-        ucnt = np.bincount(sd[keep], minlength=m)
-        uoff = np.zeros(m + 1, dtype=np.int64)
-        np.cumsum(ucnt, out=uoff[1:])
-        for i in range(m):
-            out.append(uv[uoff[i]: uoff[i + 1]].tolist())
-    else:
-        out = [[] for _ in range(m)]
-    return out
+        return h, doc_rep, n_words
+    return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64),
+            n_words)
 
 
 def with_word_shingle_hashes(df, text_col: str, out_col: str = "sh",
