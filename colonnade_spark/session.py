@@ -48,6 +48,16 @@ def get_spark(app: str = "colonnade_spark", cores: int | None = None,
         # ~45% smaller shuffle blocks cut fetch bytes where that matters.
         # JVM-fixed: set at session creation, not mutable per job.
         .config("spark.io.compression.codec", io_codec)
+        # input split size: Spark's own bytesPerCore rule only kicks in
+        # when a single scan is bigger than cores x 128 MB, so a ~500 MB
+        # input at local[4] otherwise splits into six file-sized tasks —
+        # 1.5 waves, a quarter of the cores idle in the tail (measured on
+        # the encode ladder's corpus scan).  32 MB splits pack low-core
+        # sessions evenly at negligible overhead for high-core ones; on a
+        # real cluster with fast sequential storage RAISE this (512 MB-1 GB,
+        # guide §6) via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"))
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
