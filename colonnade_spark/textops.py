@@ -478,7 +478,13 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
         # label sum is strictly decreasing until convergence
         cur_sum = upd.agg(F.sum(F.col("comp").cast("decimal(38,0)"))
                           .alias("s")).collect()[0]["s"]
-        changed = 0 if cur_sum == prev_sum else 1
+        # a NULL sum means decimal(38,0) overflowed under non-ANSI mode —
+        # treating None == None as converged would silently accept split
+        # labels, so a NULL on either side always counts as changed
+        # (ADVICE round 5; unreachable below ~1e36 summed ids, guarded
+        # anyway)
+        changed = (1 if cur_sum is None or prev_sum is None
+                   or cur_sum != prev_sum else 0)
         prev_sum = cur_sum
         # release the SUPERSEDED round's storage.  DataFrame.unpersist()
         # does NOT free localCheckpoint blocks (verified: storage info

@@ -55,11 +55,9 @@ def test_resume_skips_completed_buckets(spark, corpus_df, tmp_path):
                              input_token="t3")
     assert m1["buckets_encoded_this_run"] > 0
     # simulate a crash that lost two buckets' outputs+markers
-    markers = sorted(glob.glob(os.path.join(wh, "markers", "bucket_*.json")))
-    lost = markers[:2]
-    lost_ids = [json.load(open(p))["bucket"] for p in lost]
-    for p in lost:
-        os.remove(p)
+    markers = engine.list_markers(wh)
+    lost_ids = [m["bucket"] for m in markers[:2]]
+    engine.invalidate_markers(wh, lost_ids)
     before = {p: os.path.getmtime(p)
               for p in glob.glob(os.path.join(wh, "blocks", "*", "*.parquet"))}
     m2 = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=6,
@@ -142,8 +140,8 @@ def test_resume_manifest_reports_full_totals(spark, corpus_df, tmp_path):
     plan = corpus_plan()
     m1 = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=6,
                              input_token="tt")
-    markers = sorted(glob.glob(os.path.join(wh, "markers", "bucket_*.json")))
-    os.remove(markers[0])
+    markers = engine.list_markers(wh)
+    engine.invalidate_markers(wh, [markers[0]["bucket"]])
     m2 = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=6,
                              mode="resume", input_token="tt")
     assert m2["buckets_encoded_this_run"] == 1
@@ -543,10 +541,10 @@ def test_fused_resume_skips_completed(spark, corpus_df, tmp_path):
     before = {p: os.path.getmtime(p) for p in
               glob.glob(os.path.join(wh, "blocks", "bucket=*",
                                      "part-0.parquet"))}
-    markers = sorted(glob.glob(os.path.join(wh, "markers", "bucket_*.json")))
-    lost = [json.load(open(p))["bucket"] for p in markers[:2]]
-    for p, b in zip(markers[:2], lost):
-        os.remove(p)
+    markers = engine.list_markers(wh)
+    lost = [m["bucket"] for m in markers[:2]]
+    engine.invalidate_markers(wh, lost)
+    for b in lost:
         shutil.rmtree(os.path.join(wh, "blocks", f"bucket={b}"),
                       ignore_errors=True)
     m = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=5,
@@ -653,3 +651,35 @@ def test_verify_roundtrip_all_key_plan(spark, tmp_path):
     engine.encode_table(spark, df, p, wh, n_buckets=2, input_token="keys")
     summary = engine.verify_roundtrip(spark, df, p, wh)
     assert summary["ok"] and summary["rows_decoded"] == 30
+
+
+def test_marker_shards_are_per_task_and_torn_tail_is_skipped(
+        spark, corpus_df, tmp_path):
+    """Round-6 marker store: markers live in O(n_partitions) shard files
+    (one per task attempt), not one file per bucket; list/invalidate keep
+    per-bucket granularity; a torn tail line (task killed mid-append) is
+    skipped by the scan instead of poisoning the resume."""
+    wh = str(tmp_path / "wh")
+    plan = corpus_plan()
+    m = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=8,
+                            input_token="shards", fused=True)
+    shards = glob.glob(os.path.join(wh, "markers", "shard_*.jsonl"))
+    legacy = glob.glob(os.path.join(wh, "markers", "bucket_*.json"))
+    assert shards and not legacy
+    n_buckets_done = m["buckets_encoded_this_run"]
+    assert len(shards) <= n_buckets_done          # strictly fewer files
+    markers = engine.list_markers(wh)
+    assert len(markers) == n_buckets_done
+    # torn tail: append garbage to one shard — scan must ignore it
+    with open(shards[0], "a") as f:
+        f.write('{"bucket": 999, "fingerprint"')
+    assert len(engine.list_markers(wh)) == n_buckets_done
+    # invalidate one bucket: resume re-encodes exactly that bucket
+    b0 = markers[0]["bucket"]
+    engine.invalidate_markers(wh, [b0])
+    assert len(engine.list_markers(wh)) == n_buckets_done - 1
+    m2 = engine.encode_table(spark, corpus_df, plan, wh, n_buckets=8,
+                             mode="resume", input_token="shards", fused=True)
+    assert m2["buckets_encoded_this_run"] == 1
+    assert m2["buckets_resumed"] == n_buckets_done - 1
+    assert m2["rows"] == m["rows"]

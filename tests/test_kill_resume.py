@@ -48,7 +48,7 @@ def test_sigkill_then_resume(spark):
     markers = []
     try:
         while time.time() < deadline:
-            markers = glob.glob(os.path.join(WH, "markers", "bucket_*.json"))
+            markers = engine.list_markers(WH) if os.path.isdir(WH) else []
             if len(markers) >= 3:
                 break
             if proc.poll() is not None:
@@ -64,8 +64,7 @@ def test_sigkill_then_resume(spark):
     done_before = {p: os.path.getmtime(p) for p in
                    glob.glob(os.path.join(WH, "blocks", "bucket=*",
                                           "part-0.parquet"))}
-    marked = {json.load(open(p))["bucket"] for p in
-              glob.glob(os.path.join(WH, "markers", "bucket_*.json"))}
+    marked = {m["bucket"] for m in engine.list_markers(WH)}
     assert marked, "kill landed before any bucket completed"
 
     # resume in-process (same corpus, same plan → same fingerprint)
@@ -115,7 +114,7 @@ def test_sigkill_then_resume_fused(spark):
     markers = []
     try:
         while time.time() < deadline:
-            markers = glob.glob(os.path.join(wh, "markers", "bucket_*.json"))
+            markers = engine.list_markers(wh) if os.path.isdir(wh) else []
             if len(markers) >= 3:
                 break
             if proc.poll() is not None:
@@ -131,8 +130,7 @@ def test_sigkill_then_resume_fused(spark):
     done_before = {p: os.path.getmtime(p) for p in
                    glob.glob(os.path.join(wh, "blocks", "bucket=*",
                                           "part-0.parquet"))}
-    marked = {json.load(open(p))["bucket"] for p in
-              glob.glob(os.path.join(wh, "markers", "bucket_*.json"))}
+    marked = {m["bucket"] for m in engine.list_markers(wh)}
     assert marked, "kill landed before any bucket completed"
 
     df = spark.read.parquet(CORPUS)

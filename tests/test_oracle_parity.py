@@ -73,3 +73,29 @@ def test_query_matches_oracle(spark, registry, name):
     if a != b:
         diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_gate_rotation_names_resolve_and_cover_registry():
+    """The rotation lists must stay in lockstep with the registry: a
+    renamed query silently dropping out of _GATE_FRONT/_DEFERRED_PAST_GATE
+    (or a stale name KeyError-ing every caller) must fail HERE, and the
+    rotation must be a pure permutation — the parity harness above iterates
+    the FULL registry, so every deferred query keeps its oracle coverage
+    in-repo even while its driver row is one round stale (ADVICE round 5)."""
+    from colonnade_spark.queries import (_DEFERRED_PAST_GATE, _GATE_FRONT,
+                                         _raw_registry, registry)
+
+    reg = registry()
+    names = set(reg)
+    assert set(_GATE_FRONT) <= names, set(_GATE_FRONT) - names
+    assert set(_DEFERRED_PAST_GATE) <= names, set(_DEFERRED_PAST_GATE) - names
+    assert not set(_GATE_FRONT) & set(_DEFERRED_PAST_GATE)
+    # permutation: rotation reorders, never adds/drops
+    assert list(sorted(reg)) == sorted(_raw_registry())
+    # the deferred set sits entirely PAST the 50-entry gate and the gate
+    # front sits entirely inside it
+    order = list(reg)
+    assert all(order.index(n) >= len(order) - len(_DEFERRED_PAST_GATE)
+               for n in _DEFERRED_PAST_GATE)
+    assert all(order.index(n) < 50 for n in _GATE_FRONT)
+    assert len(order) - len(_DEFERRED_PAST_GATE) <= 50
