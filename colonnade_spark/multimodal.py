@@ -80,9 +80,13 @@ def batch_meta(payloads: list) -> dict:
                 "entropy_milli": np.zeros(n, dtype=np.int64),
                 "fake_features": np.zeros((n, N_FEATURES), dtype=np.float32)}
     buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
-    seg = np.repeat(np.arange(n, dtype=np.int64), lens)
-    # per-row byte histograms: one bincount over (segment, byte) keys
-    counts = np.bincount(seg * 256 + buf, minlength=n * 256).reshape(n, 256)
+    # per-row byte histograms: one bincount over (segment, byte) keys.
+    # int32 keys: n*256 stays far below 2^31 for any arrow batch and the
+    # int32 multiply-add runs ~2x the int64 path (round-6 measurement:
+    # the key build + second bincount were 60% of the kernel)
+    seg = np.repeat(np.arange(n, dtype=np.int32), lens)
+    counts = np.bincount(seg * np.int32(256) + buf,
+                         minlength=n * 256).reshape(n, 256)
     safe = np.maximum(lens, 1).astype(np.float64)
     p = counts / safe[:, None]
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -90,10 +94,12 @@ def batch_meta(payloads: list) -> dict:
     ent = -(p * logp).sum(axis=1) * 1000.0
     ent_milli = np.round(ent).astype(np.int64)
     ent_milli[lens == 0] = 0
-    # fake decoder features: coarse (>>5) histogram, same bincount trick
-    feat_counts = (np.bincount(seg * N_FEATURES + (buf >> 5).astype(np.int64),
-                               minlength=n * N_FEATURES)
-                   .reshape(n, N_FEATURES).astype(np.float32))
+    # fake decoder features: the coarse (>>5) histogram is the 256-bin
+    # histogram folded 32 bytes at a time — derived from `counts` instead
+    # of a second 9M-key bincount (same integers, so the float32 division
+    # below is bit-identical to the per-row reference)
+    feat_counts = (counts.reshape(n, N_FEATURES, 256 // N_FEATURES)
+                   .sum(axis=2).astype(np.float32))
     feats = feat_counts / safe[:, None].astype(np.float32)
     feats[lens == 0] = 0.0
     return {"n_bytes": lens, "entropy_milli": ent_milli,
@@ -150,9 +156,13 @@ def extract_features(df, id_col: str, bin_col: str, modality: str = "fake",
             for sub in _size_capped(pdf, "payload", max_batch_bytes):
                 payloads = list(sub["payload"])
                 meta = batch_meta(payloads)
-                # crc32 is byte-serial: one C call per payload
+                # crc32 is byte-serial: one C call per payload, no copy
+                # (zlib.crc32 takes any buffer).  Measured (round 6):
+                # 5 ms per 8192x1.1KB batch = ~3% of the kernel — the
+                # histogram/entropy path dominates, so a combine-based
+                # vectorization has nothing to win (VERDICT item 6).
                 crcs = np.fromiter(
-                    (zlib.crc32(bytes(p) if p is not None else b"") - (1 << 31)
+                    (zlib.crc32(p if p is not None else b"") - (1 << 31)
                      for p in payloads), dtype=np.int32, count=len(payloads))
                 if decoder is None:
                     feats = [row.tolist() for row in meta["fake_features"]]
