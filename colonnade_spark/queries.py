@@ -641,7 +641,7 @@ def q_doc_repetition(spark, sf_dir):
     the oracle still counts raw strings."""
     from pyspark.sql import functions as F
 
-    from .textops import word_count_stats
+    from .textops import _spread, word_count_stats
 
     docs = _read(spark, sf_dir, "documents")
 
@@ -658,7 +658,10 @@ def q_doc_repetition(spark, sf_dir):
                  pa.array(r["n_words"]), pa.array(r["n_distinct"]),
                  pa.array(r["top_count"])], schema=out_schema)
 
-    w = docs.select(F.col("doc_id").cast("bigint"), "text").mapInArrow(
+    # _spread: the documents scan is one split at bench SFs — without it
+    # the kernel serializes on a single task (AQE/scan-split starvation of
+    # python stages, round-6 finding)
+    w = _spread(docs.select(F.col("doc_id").cast("bigint"), "text")).mapInArrow(
         stats,
         "doc_id bigint, n_words bigint, n_distinct bigint, top_count bigint")
     return (w
@@ -892,7 +895,11 @@ def q_ngram_jaccard(spark, sf_dir):
     # are injectively PACKED code points (textops.char_ngram_key_sets), so
     # set sizes are exactly the string-set sizes — strictly stronger than
     # the xxhash64 keys they replace.
-    B = 1024
+    # B sets only the parallelism/duplication trade (results identical for
+    # any B: pairing is per-block + boundary dup): 256 gives the kernel
+    # ~n_docs/256 tasks — 20 at sf0.1 where 1024 left 5 of 32 cores busy —
+    # at +1/256 duplicated rows
+    B = 256
     # integer DIV, not floor(/): bigint / int is DOUBLE in Spark, and above
     # 2^53 a lossy quotient could misplace a row's block and silently drop
     # its pair — exactly the scale this shape exists for
@@ -900,7 +907,15 @@ def q_ngram_jaccard(spark, sf_dir):
     dup = (docs.filter((F.col("doc_id") + 1) % B == 0)
            .withColumn("blk", F.expr(f"doc_id DIV {B}") + 1))
     u = base.unionByName(dup).select("blk", "doc_id", "text")
-    shuffled = u.repartition("blk").sortWithinPartitions("blk", "doc_id")
+    # EXPLICIT partition count: a keyless repartition("blk") lets AQE
+    # coalesce the exchange by shuffle BYTES (~25 MB compressed text →
+    # ONE post-shuffle partition), serializing the whole python kernel on
+    # a single task (measured 10.4 s vs 1.4 s at sf1.0) — AQE cannot see
+    # python-side CPU (guide §4).  2x parallelism for intra-task balance;
+    # scales with the cluster, not a tuned constant.
+    n_part = spark.sparkContext.defaultParallelism * 2
+    shuffled = (u.repartition(n_part, "blk")
+                .sortWithinPartitions("blk", "doc_id"))
     return shuffled.mapInArrow(
         adjacent_jaccard_kernel(5, B),
         "id_a bigint, n_inter bigint, n_union bigint, jaccard_milli bigint")

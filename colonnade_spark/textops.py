@@ -257,7 +257,12 @@ def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
     # same matches/n_hashes double, so the surviving pair set is identical.
     exploded = sigged.select(F.col(id_col).cast("bigint").alias("id"), "sig",
                              F.posexplode(band_arr).alias("band", "bh"))
-    shuffled = (exploded.repartition("band", "bh")
+    # explicit partition count: AQE would coalesce this exchange by BYTES
+    # and serialize the python pair kernel on a handful of tasks (it
+    # cannot see python-side CPU, guide §4); 2x parallelism also spreads
+    # the skewed per-bucket pair volume
+    n_part = sigged.sparkSession.sparkContext.defaultParallelism * 2
+    shuffled = (exploded.repartition(n_part, "band", "bh")
                 .sortWithinPartitions("band", "bh", "id"))
     pairs = shuffled.mapInArrow(
         minhash_bucket_pair_kernel(n_hashes, threshold, max_bucket),
@@ -343,7 +348,11 @@ def simhash_pairs_from_sigs(df_sigged, id_col: str, sig_col: str = "simhash",
     # cap in-stream (oversized runs emit nothing), so only the Manku
     # refinement still needs the bucket-size aggregation to route
     # oversized buckets' members.
-    shuffled = (exploded.repartition("band", "bh")
+    # explicit partition count — same AQE-coalescing hazard as the minhash
+    # kernel (a ~13 MB exploded signature table would collapse to ONE
+    # post-shuffle partition and serialize the 65M-pair popcount)
+    n_part = df_sigged.sparkSession.sparkContext.defaultParallelism * 2
+    shuffled = (exploded.repartition(n_part, "band", "bh")
                 .sortWithinPartitions("band", "bh", "id"))
     level0 = shuffled.mapInArrow(
         simhash_bucket_pair_kernel(["band", "bh"], max_hamming, max_bucket),
@@ -361,7 +370,7 @@ def simhash_pairs_from_sigs(df_sigged, id_col: str, sig_col: str = "simhash",
                .select("id", "sig", "band", "bh",
                        F.posexplode(chunks2).alias("band2", "bh2"))
                .filter(F.col("band2") != F.col("band")))
-    level1 = (refined.repartition("band", "bh", "band2", "bh2")
+    level1 = (refined.repartition(n_part, "band", "bh", "band2", "bh2")
               .sortWithinPartitions("band", "bh", "band2", "bh2", "id")
               .mapInArrow(
                   simhash_bucket_pair_kernel(["band", "bh", "band2", "bh2"],
@@ -1181,7 +1190,9 @@ def _word_span_hashes(texts, k: int):
 def with_word_shingle_hashes(df, text_col: str, out_col: str = "sh",
                              k: int = 3):
     """array<bigint> column of distinct word-k-gram hashes (vectorized
-    pandas UDF over :func:`word_shingle_hash_sets`)."""
+    pandas UDF over :func:`word_shingle_hash_sets`).  Input is _spread
+    first: a few-MB parquet scan yields one split, which would serialize
+    the kernel on one task (no-op when the scan already parallelizes)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, LongType
 
@@ -1189,7 +1200,7 @@ def with_word_shingle_hashes(df, text_col: str, out_col: str = "sh",
     def sh_udf(s: pd.Series) -> pd.Series:
         return pd.Series(word_shingle_hash_sets(s.tolist(), k))
 
-    return df.withColumn(out_col, sh_udf(F.col(text_col)))
+    return _spread(df).withColumn(out_col, sh_udf(F.col(text_col)))
 
 
 # --------------------------------------------------------------------------
