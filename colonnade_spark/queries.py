@@ -552,7 +552,11 @@ _TOKEN_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
 def q_token_count(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    return (_read(spark, sf_dir, "documents")
+    from .textops import _spread
+
+    # _spread: the documents scan is ONE row group at bench SFs, so the
+    # JVM token count otherwise runs on a single task (round-6 finding)
+    return (_spread(_read(spark, sf_dir, "documents"))
             .select("doc_id",
                     F.expr(_TOKEN_EXPR).cast("bigint").alias("n_tokens")))
 
@@ -577,9 +581,12 @@ def q_doc_redact_pii(spark, sf_dir):
     regexp_extract_all, no Python in the path."""
     from pyspark.sql import functions as F
 
+    from .textops import _spread
+
     email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     phone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
-    docs = _read(spark, sf_dir, "documents")
+    # _spread: single-row-group scan -> single-task regex otherwise
+    docs = _spread(_read(spark, sf_dir, "documents"))
     planted = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(F.col("text"), F.lit(" contact user"),
@@ -696,7 +703,10 @@ def q_doc_quality(spark, sf_dir):
     numerator/denominator pairs for oracle parity)."""
     from pyspark.sql import functions as F
 
-    df = _read(spark, sf_dir, "documents")
+    from .textops import _spread
+
+    # _spread: single-row-group scan -> single-task regex otherwise
+    df = _spread(_read(spark, sf_dir, "documents"))
     # non-overlapping "( |^)stop( |$)" matches undercount adjacent stopword
     # pairs identically in both engines (same leftmost-non-overlap rule)
     return df.select(
@@ -760,7 +770,10 @@ def q_token_count_bpe(spark, sf_dir):
     regex and DuckDB RE2."""
     from pyspark.sql import functions as F
 
-    return (_read(spark, sf_dir, "documents")
+    from .textops import _spread
+
+    # _spread: single-row-group scan -> single-task regex otherwise
+    return (_spread(_read(spark, sf_dir, "documents"))
             .select("doc_id",
                     F.size(F.regexp_extract_all(
                         F.col("text"), F.lit(_BPE_RE_SPARK_LIT), F.lit(0)))
@@ -940,7 +953,10 @@ def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprint: whitespace-normalized content hash."""
     from pyspark.sql import functions as F
 
-    return (_read(spark, sf_dir, "documents")
+    from .textops import _spread
+
+    # _spread: single-row-group scan -> single-task regex otherwise
+    return (_spread(_read(spark, sf_dir, "documents"))
             .select("doc_id",
                     F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
                     .alias("fp")))
@@ -1730,7 +1746,11 @@ def q_events_json_props(spark, sf_dir):
     training pipeline) and aggregate it per event type."""
     from pyspark.sql import functions as F
 
-    ev = _read(spark, sf_dir, "events")
+    from .textops import _spread
+
+    # _spread: events is ONE parquet row group at bench SFs, so the JSON
+    # parse otherwise runs on a single task before the tiny aggregation
+    ev = _spread(_read(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (ev.select("event_type", k.alias("k"))
             .groupBy("event_type")
@@ -2249,6 +2269,10 @@ def q_top_terms(spark, sf_dir):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    # NOT _spread (round-6 A/B): splitting the single-row-group scan 32
+    # ways inflated this query 0.7 -> 7.7 s — the vocabulary is large, so
+    # 32 partial aggregates stop combining map-side and the (lang, term)
+    # shuffle explodes; one scan task + map-side combine wins here
     docs = _read(spark, sf_dir, "documents")
     terms = (docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
              .filter(F.col("term") != ""))
