@@ -300,6 +300,48 @@ def ivf_topk(spark, queries_df, corpus_df, vec_col: str, id_col: str,
             .select("qid", "nid", "rank", "sim"))
 
 
+def cosine_bucket_pair_kernel(threshold: float):
+    """mapInArrow kernel over (band, bh, id, e, n2) sorted by (band, bh,
+    id): per bucket, every pair's cosine is computed vectorized and only
+    pairs >= threshold are emitted (round 6 — the same in-bucket shape as
+    the minhash/simhash kernels, so the candidate volume never shuffles).
+
+    BIT-EXACT with the JVM expression it replaces: the elementwise
+    products are the same IEEE doubles, and ``np.cumsum`` accumulates
+    strictly sequentially — the same left fold as Spark's
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` — so dot, sqrt, division and
+    the threshold comparison reproduce the exact same float64s."""
+    from .textops import _intra_bucket_pair_chunks, _ranges, _run_groups
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                                ("cos_sim", pa.float64())])
+        for counts, payload in _run_groups(batches, ["band", "bh"],
+                                           ["id", "e", "n2"]):
+            keep = counts >= 2
+            if not keep.any():
+                continue
+            starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            rows = _ranges(starts[:-1][keep], counts[keep])
+            ids = payload["id"][rows]
+            e = payload["e"][rows]
+            n2 = payload["n2"][rows]
+            for I, J in _intra_bucket_pair_chunks(counts[keep],
+                                                  max_pairs=1 << 16):
+                dot = np.cumsum(e[I] * e[J], axis=1)[:, -1]
+                sim = dot / np.sqrt(n2[I] * n2[J])
+                ok = sim >= threshold
+                if ok.any():
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(ids[I[ok]]), pa.array(ids[J[ok]]),
+                         pa.array(sim[ok])], schema=out_schema)
+
+    return kernel
+
+
 def cosine_near_dup_pairs(spark, df, vec_col: str, id_col: str,
                           threshold: float = 0.9, *, exact: bool = False,
                           dim: int | None = None, n_bits: int = 32,
@@ -343,21 +385,26 @@ def cosine_near_dup_pairs(spark, df, vec_col: str, id_col: str,
             dim = int(first[0]) if first else 0
         rb = n_bits // bands
         mask = (1 << rb) - 1
-        sig = with_lsh_signature(v.select("id", "e"), "e", dim or 1, n_bits)
+        sig = with_lsh_signature(v.select("id", "e", "n2"), "e", dim or 1,
+                                 n_bits)
         bandcols = F.array(*[
             F.shiftright(F.col("lsh_sig"), i * rb).bitwiseAND(F.lit(mask))
             for i in range(bands)])
-        # bands carry IDS ONLY — exploding the vectors bands-times and
-        # shuffling them through the pair join would dominate; vectors
-        # re-join after the candidate ids are deduplicated
-        ex = sig.select("id", F.posexplode(bandcols).alias("band", "bh"))
-        a = ex.select(F.col("id").alias("id_a"), "band", "bh")
-        b = ex.select(F.col("id").alias("id_b"), "band", "bh")
-        cand = (a.join(b, ["band", "bh"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
-                .dropDuplicates(["id_a", "id_b"]))
-        pairs = cand.join(va, "id_a").join(vb, "id_b")
+        # round 6: bands carry the member VECTORS into their bucket and
+        # one mapInArrow kernel generates + cosine-filters every in-bucket
+        # pair (bit-exact with the JVM fold — see cosine_bucket_pair_
+        # kernel), replacing the ids-only self-join → dropDuplicates over
+        # ALL candidates → two vector re-joins; dedup touches survivors
+        # only.  Same shape as the minhash/simhash kernels.
+        ex = sig.select(F.col("id").cast("bigint").alias("id"), "e", "n2",
+                        F.posexplode(bandcols).alias("band", "bh"))
+        n_part = spark.sparkContext.defaultParallelism * 2
+        shuffled = (ex.repartition(n_part, "band", "bh")
+                    .sortWithinPartitions("band", "bh", "id"))
+        pairs = shuffled.mapInArrow(
+            cosine_bucket_pair_kernel(threshold),
+            "id_a bigint, id_b bigint, cos_sim double")
+        return pairs.dropDuplicates(["id_a", "id_b"])
     dot = _DOT.format(a="ea", b="eb")
     sim = F.expr(f"({dot}) / sqrt(na * nb)")
     return (pairs.withColumn("cos_sim", sim)
