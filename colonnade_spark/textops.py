@@ -238,12 +238,14 @@ def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
     """Candidate pairs sharing >=1 LSH band, kept when the signature-estimated
     Jaccard >= threshold.  Returns (id_a, id_b, est_jaccard).
 
-    Signatures are MATERIALIZED once (parquet; ``sig_path`` targets the
-    warehouse at scale) rather than ``.cache()``-d: every downstream
-    consumer (bucket sizes, both join sides, the estimate join) scans the
-    signature table instead of re-running the Python kernel or pinning
-    executor memory.  Callers that already have a signature table pass it
-    via ``sig_df`` (columns: id_col, sig) and skip the kernel entirely."""
+    Since the round-6 in-bucket pair kernel the signature table has exactly
+    ONE consumer in this pipeline (the band explode — bucket sizes and the
+    two estimate re-joins are gone), so by default signatures stream
+    straight into the explode with no parquet round-trip.  Pass ``sig_path``
+    to materialize them to a warehouse table anyway (callers that want the
+    signature table as a reusable artifact, or that scan the returned pairs
+    more than once), or ``sig_df`` (columns: id_col, sig) to skip the
+    kernel entirely."""
     from pyspark.sql import functions as F
 
     if bands <= 0 or n_hashes % bands:
@@ -256,11 +258,11 @@ def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
     if sig_df is not None:
         sigged = sig_df.select(id_col, "sig")
     else:
-        sigged = _materialize(
-            with_minhash(df.select(id_col, text_col), text_col,
-                         n_hashes=n_hashes, shingle=shingle)
-            .select(id_col, "sig"),
-            sig_path)
+        sigged = (with_minhash(df.select(id_col, text_col), text_col,
+                               n_hashes=n_hashes, shingle=shingle)
+                  .select(id_col, "sig"))
+        if sig_path is not None:
+            sigged = _materialize(sigged, sig_path)
     band_arr = F.array(*[
         F.hash(F.slice("sig", i * rows + 1, rows)).cast("long").alias(f"b{i}")
         for i in range(bands)])
@@ -464,10 +466,16 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
     ids = ids_df.select(F.col(id_col).alias("id")).distinct()
     # hash-partition the edges on the join key ONCE: the per-round join's
     # required distribution is already satisfied by the cached layout, so
-    # only the (much smaller) labels side shuffles each round
-    edges = (pairs_df.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-             .unionByName(pairs_df.select(F.col("id_b").alias("u"),
-                                          F.col("id_a").alias("v")))
+    # only the (much smaller) labels side shuffles each round.  Both edge
+    # directions come from ONE explode over a single scan of pairs_df — a
+    # two-branch union would reference pairs_df twice and execute its whole
+    # upstream (signature kernel + bucket shuffle + pair kernel for the
+    # in-repo callers) twice inside this cache job.
+    edges = (pairs_df.select(F.explode(F.array(
+                 F.struct(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
+                 F.struct(F.col("id_b").alias("u"), F.col("id_a").alias("v"))))
+                 .alias("e"))
+             .select("e.u", "e.v")
              .distinct().repartition(n_part, "v").cache())
     labels = ids.select("id", F.col("id").alias("comp")).cache()
     sc = spark.sparkContext

@@ -36,6 +36,31 @@ def test_minhash_finds_perturbed_pairs(spark, docs):
     assert all(0.5 <= e <= 1.0 for _, _, e in pairs)
 
 
+def test_minhash_sig_path_materializes_and_matches_inline(spark, docs, tmp_path):
+    """The default path streams signatures straight into the band explode
+    (single consumer since the round-6 in-bucket kernel); ``sig_path`` must
+    still write a reusable parquet signature table, and both paths must
+    produce the identical pair set (signatures are a pure function of the
+    text, so WHERE the kernel runs cannot change them)."""
+    import os
+
+    from colonnade_spark.textops import minhash_near_dup_pairs
+
+    both = _with_perturbed(docs)
+    sig_dir = str(tmp_path / "sigs")
+    inline = sorted(map(tuple, minhash_near_dup_pairs(
+        spark, both, "doc_id", "text", threshold=0.5).collect()))
+    via_path = sorted(map(tuple, minhash_near_dup_pairs(
+        spark, both, "doc_id", "text", threshold=0.5,
+        sig_path=sig_dir).collect()))
+    assert inline == via_path
+    # the warehouse signature table actually exists and is complete
+    sig = spark.read.parquet(sig_dir)
+    assert sig.columns == ["doc_id", "sig"]
+    assert sig.count() == both.count()
+    assert any(f.endswith(".parquet") for f in os.listdir(sig_dir))
+
+
 def test_exact_jaccard_verifies_minhash(spark, docs):
     from colonnade_spark.textops import minhash_near_dup_pairs, ngram_jaccard_pairs
 
