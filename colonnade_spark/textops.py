@@ -353,7 +353,16 @@ def simhash_pairs_from_sigs(df_sigged, id_col: str, sig_col: str = "simhash",
          .cast("int").alias(f"c{i}") for i in range(4)])
     # no cache: callers materialize the signature table (simhash_near_dup_
     # pairs), so re-deriving the 4-way chunk explode per consumer is a cheap
-    # JVM-side scan of the materialized parquet, not a Python recompute
+    # JVM-side scan of the materialized parquet, not a Python recompute.
+    # Inline (non-materialized) signatures were tried and REJECTED late in
+    # round 6: Catalyst specializes each consumer branch (column pruning
+    # gives the sizes branch a text-only scan; PushDownLeftSemiAntiJoin
+    # moves the Manku routing join below the repartition), so the three
+    # exchange subtrees stop being identical, exchange reuse never fires,
+    # and the signature UDF executes once PER CONSUMER (measured at sf0.1:
+    # 2.41 -> 3.14 s, 3x ArrowEvalPython in the executed plan).  Unlike
+    # minhash (one consumer since the in-bucket kernel), simhash's Manku
+    # refinement structurally needs member signatures a second time.
     exploded = df_sigged.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(sig_col).alias("sig"),
@@ -408,7 +417,11 @@ def simhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
     """Near-dup pairs by SimHash over text: signature UDF + recursive-split
     bucket join (see :func:`simhash_pairs_from_sigs`).  Signatures are
     materialized once (``sig_path`` → warehouse at scale; ``sig_df`` skips
-    the kernel for precomputed tables) — no ``.cache()`` in the scale path."""
+    the kernel for precomputed tables) — no ``.cache()`` in the scale path.
+    Unlike minhash, the signature table keeps >1 consumer (bucket sizes and
+    Manku routing need member signatures again), and Catalyst's per-branch
+    specialization defeats exchange reuse for inline signatures (measured
+    rejection — see the comment in :func:`simhash_pairs_from_sigs`)."""
     if sig_df is None:
         sig_df = _materialize(
             with_simhash(df.select(id_col, text_col), text_col,
@@ -481,22 +494,28 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
     sc = spark.sparkContext
     first_round_cache = labels
     prev_ckpt_rdd_id = None
-    # seed with the initial label sum so an already-converged graph (e.g.
-    # empty pairs) is detected in round 1, not round 2
-    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))
-                          .alias("s")).collect()[0]["s"]
+    # the initial-label-sum seed (detects an already-converged graph in
+    # round 1) is folded into round 1's aggregation instead of a separate
+    # job: upd carries every id exactly once, so sum(id) over round 1's
+    # result IS the initial label sum — one fewer Spark job per CC call
+    prev_sum = None
     converged = False
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         contrib = (edges.join(labels, edges.v == labels.id)
                    .select(F.col("u").alias("id"), "comp"))
         # union the nodes' own labels into the neighbor contributions and
         # take one min — same semantics as least(self, min(neighbors)) with
         # one fewer shuffle (no join-back).  localCheckpoint = materialize
         # AND truncate lineage (cache alone keeps the growing join tree in
-        # the plan).
+        # the plan).  LAZY (eager=False): the sum action below both
+        # materializes the checkpoint blocks and computes the convergence
+        # check in ONE job — eager=True spent a separate count() job per
+        # round just to force materialization (2 jobs/round -> 1; each
+        # round is latency-bound at any scale: the labels table is tiny
+        # next to the corpus).
         upd = (labels.unionByName(contrib)
                .groupBy("id").agg(F.min("comp").alias("comp"))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         # the checkpoint's OWN backing RDD, read off its LogicalRDD plan —
         # never a global storage-listing diff, which would capture (and
         # later wrongly unpersist) whatever else first materialized during
@@ -509,9 +528,18 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
         except Exception:
             ckpt_rdd_id = None
         # join-free fixed-point check: labels never increase, so the exact
-        # label sum is strictly decreasing until convergence
-        cur_sum = upd.agg(F.sum(F.col("comp").cast("decimal(38,0)"))
-                          .alias("s")).collect()[0]["s"]
+        # label sum is strictly decreasing until convergence.  Round 1
+        # also aggregates sum(id) — the initial label sum (comp=id and upd
+        # has each id exactly once) — in the same job.
+        if rnd == 0:
+            row = upd.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+                F.sum(F.col("id").cast("decimal(38,0)")).alias("s0"),
+            ).collect()[0]
+            cur_sum, prev_sum = row["s"], row["s0"]
+        else:
+            cur_sum = upd.agg(F.sum(F.col("comp").cast("decimal(38,0)"))
+                              .alias("s")).collect()[0]["s"]
         # a NULL sum means decimal(38,0) overflowed under non-ANSI mode —
         # treating None == None as converged would silently accept split
         # labels, so a NULL on either side always counts as changed

@@ -384,6 +384,39 @@ def test_connected_components_releases_superseded_storage(spark):
     assert after - before <= 1, (before, after)
 
 
+def test_connected_components_one_job_per_round(spark):
+    """Round-6 optimization pin: the per-round convergence check and the
+    checkpoint materialization share ONE job (lazy localCheckpoint — the
+    sum action materializes the blocks).  An eager checkpoint would spend
+    a separate count() job per round; at scale every round is
+    latency-bound, so the job count per round is the cost model."""
+    from colonnade_spark.textops import connected_components
+
+    sc = spark.sparkContext
+    n = 14
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    # chain -> diameter n-1: max_iters exactly caps the round count, so
+    # the job-count DIFFERENCE between two runs isolates the per-round
+    # cost from fixed setup jobs (AQE spawns one job per shuffle stage,
+    # so absolute counts are not 1-per-action).
+    pairs = spark.createDataFrame([(i, i + 1, 1.0) for i in range(n - 1)],
+                                  "id_a long, id_b long, est_jaccard double")
+
+    def jobs_for(iters: int, tag: str) -> int:
+        sc.setJobGroup(tag, tag)
+        try:
+            connected_components(ids, pairs, max_iters=iters,
+                                 on_max_iters="ignore").count()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    slope = (jobs_for(6, "cc-jobs-6") - jobs_for(2, "cc-jobs-2")) / 4
+    # measured: lazy checkpoint = 4.0 jobs/round, eager = 5.0 (the extra
+    # count() materialization job) — pin the lazy cost model
+    assert slope <= 4.5, slope
+
+
 def test_minhash_bands_must_divide_hashes(spark):
     import pytest
 
