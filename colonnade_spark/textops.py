@@ -351,18 +351,18 @@ def simhash_pairs_from_sigs(df_sigged, id_col: str, sig_col: str = "simhash",
     chunks = F.array(*[
         F.shiftright(F.col(sig_col), i * 16).bitwiseAND(F.lit(0xFFFF))
          .cast("int").alias(f"c{i}") for i in range(4)])
-    # no cache: callers materialize the signature table (simhash_near_dup_
-    # pairs), so re-deriving the 4-way chunk explode per consumer is a cheap
-    # JVM-side scan of the materialized parquet, not a Python recompute.
-    # Inline (non-materialized) signatures were tried and REJECTED late in
-    # round 6: Catalyst specializes each consumer branch (column pruning
-    # gives the sizes branch a text-only scan; PushDownLeftSemiAntiJoin
-    # moves the Manku routing join below the repartition), so the three
-    # exchange subtrees stop being identical, exchange reuse never fires,
-    # and the signature UDF executes once PER CONSUMER (measured at sf0.1:
-    # 2.41 -> 3.14 s, 3x ArrowEvalPython in the executed plan).  Unlike
-    # minhash (one consumer since the in-bucket kernel), simhash's Manku
-    # refinement structurally needs member signatures a second time.
+    # The signature table has at most TWO consumers since the sentinel
+    # change below (the level-0 explode, and the Manku routing join when —
+    # and only when — some bucket is oversized).  Inline (non-materialized)
+    # signatures with THREE consumers were tried and REJECTED late in
+    # round 6: Catalyst specializes each consumer branch (column pruning,
+    # PushDownLeftSemiAntiJoin below the repartition), so the exchange
+    # subtrees stop being identical, exchange reuse never fires, and the
+    # signature UDF executes once PER CONSUMER (measured at sf0.1:
+    # 2.41 -> 3.14 s, 3x ArrowEvalPython in the executed plan).  Callers
+    # therefore materialize df_sigged (parquet warehouse table or
+    # localCheckpoint — see simhash_near_dup_pairs), which both consumers
+    # scan cheaply.
     exploded = df_sigged.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(sig_col).alias("sig"),
@@ -373,24 +373,51 @@ def simhash_pairs_from_sigs(df_sigged, id_col: str, sig_col: str = "simhash",
     # dropDuplicates shuffled the full candidate volume (65M pairs at
     # sf1.0) before the hamming filter dropped nearly all of it.  The
     # level-0 kernel sees EVERY bucket and applies the same 2..max_bucket
-    # cap in-stream (oversized runs emit nothing), so only the Manku
-    # refinement still needs the bucket-size aggregation to route
-    # oversized buckets' members.
+    # cap in-stream; since it already detects oversized runs, it emits
+    # their (band, bh) keys as sentinel rows (hamming = -1), which replaces
+    # the former bucket-size groupBy — a SECOND full explode+shuffle+agg
+    # pass over the signature table at any scale — as the Manku router.
     # explicit partition count — same AQE-coalescing hazard as the minhash
     # kernel (a ~13 MB exploded signature table would collapse to ONE
     # post-shuffle partition and serialize the 65M-pair popcount)
     n_part = df_sigged.sparkSession.sparkContext.defaultParallelism * 2
     shuffled = (exploded.repartition(n_part, "band", "bh")
                 .sortWithinPartitions("band", "bh", "id"))
-    level0 = shuffled.mapInArrow(
-        simhash_bucket_pair_kernel(["band", "bh"], max_hamming, max_bucket),
+    # localCheckpoint: level0 feeds BOTH the result union and the Manku
+    # routing broadcast; without a materialization barrier the broadcast
+    # subquery would re-execute the whole sig-scan -> shuffle -> kernel
+    # pipeline (the multi-consumer trap, CLAUDE.md round-6).  eager=False:
+    # the isEmpty() probe below materializes the blocks in one job.
+    level0_out = (shuffled.mapInArrow(
+        simhash_bucket_pair_kernel(["band", "bh"], max_hamming, max_bucket,
+                                   emit_over_keys=True),
         "id_a bigint, id_b bigint, hamming int")
+        .localCheckpoint(eager=False))
+    level0 = level0_out.filter(F.col("hamming") >= 0)
+    over = (level0_out.filter(F.col("hamming") < 0)
+            .select(F.shiftright("id_b", 16).cast("int").alias("band"),
+                    F.col("id_b").bitwiseAND(F.lit(0xFFFF)).cast("int")
+                    .alias("bh")))
+    # data-adaptive plan (the hand-rolled form of AQE's empty-relation
+    # pruning): when NO bucket is oversized — every corpus at bench SFs —
+    # the whole Manku subtree (routing join, second explode, second keyed
+    # exchange, level-1 kernel stage) is dropped from the plan for the
+    # price of one limit-1 job over the already-checkpointed level-0
+    # blocks.  At scale, over is non-empty, isEmpty() returns just as
+    # cheaply, and the level-1 plan is exactly the pre-change one (with
+    # the sentinel-derived router replacing the sizes aggregation).  The
+    # probe reads bounded data (first sentinel row or none); the pair set
+    # is identical either way: level-1 over zero routed members is empty.
+    if over.isEmpty():
+        return (level0.dropDuplicates(["id_a", "id_b"])
+                .select(F.col("id_a"), F.col("id_b"), "hamming"))
 
     # Manku split: members of oversized buckets get a refined key
-    # (band, bh, band2, bh2) over the remaining chunks
-    sizes = exploded.groupBy("band", "bh").agg(F.count("*").alias("bn"))
-    over = sizes.filter(F.col("bn") > max_bucket)
-    over_members = exploded.join(over, ["band", "bh"], "left_semi")
+    # (band, bh, band2, bh2) over the remaining chunks.  The sentinel-
+    # derived bucket list is tiny by construction (<= n_members /
+    # max_bucket buckets), so it broadcasts.
+    over_members = exploded.join(F.broadcast(over), ["band", "bh"],
+                                 "left_semi")
     chunks2 = F.array(*[
         F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF))
          .cast("int").alias(f"d{i}") for i in range(4)])
@@ -416,17 +443,25 @@ def simhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
                            sig_path: str | None = None):
     """Near-dup pairs by SimHash over text: signature UDF + recursive-split
     bucket join (see :func:`simhash_pairs_from_sigs`).  Signatures are
-    materialized once (``sig_path`` → warehouse at scale; ``sig_df`` skips
-    the kernel for precomputed tables) — no ``.cache()`` in the scale path.
-    Unlike minhash, the signature table keeps >1 consumer (bucket sizes and
-    Manku routing need member signatures again), and Catalyst's per-branch
-    specialization defeats exchange reuse for inline signatures (measured
-    rejection — see the comment in :func:`simhash_pairs_from_sigs`)."""
+    materialized ONCE so the UDF never re-executes per consumer (Catalyst's
+    per-branch specialization defeats exchange reuse for unmaterialized
+    signatures — measured rejection, see :func:`simhash_pairs_from_sigs`):
+
+    - ``sig_path`` — parquet warehouse table: the durable/reusable-artifact
+      form (pass this at scale when the signature table should outlive the
+      query or feed other jobs).
+    - default — ``localCheckpoint`` (lazy): same compute-once semantics,
+      materialized as executor-local blocks inside the first action instead
+      of a parquet write+read round-trip.  The signature table is 16 bytes
+      per doc + id, so the block footprint is negligible next to the
+      corpus at any scale, and unlike a driver-local temp dir this form is
+      also correct on a real cluster.
+    - ``sig_df`` — precomputed table, used as-is."""
     if sig_df is None:
-        sig_df = _materialize(
-            with_simhash(df.select(id_col, text_col), text_col,
-                         shingle=shingle).select(id_col, "simhash"),
-            sig_path)
+        sigged = (with_simhash(df.select(id_col, text_col), text_col,
+                               shingle=shingle).select(id_col, "simhash"))
+        sig_df = (_materialize(sigged, sig_path) if sig_path is not None
+                  else sigged.localCheckpoint(eager=False))
     return simhash_pairs_from_sigs(sig_df, id_col, "simhash",
                                    max_hamming=max_hamming,
                                    max_bucket=max_bucket)
@@ -918,23 +953,48 @@ def minhash_bucket_pair_kernel(n_hashes: int, threshold: float,
 
 
 def simhash_bucket_pair_kernel(key_cols: list, max_hamming: int,
-                               max_bucket: int):
+                               max_bucket: int, emit_over_keys: bool = False):
     """mapInArrow kernel over (*key_cols, id, sig) sorted by (*key_cols,
     id): per bucket of 2..max_bucket members, pairwise hamming distance
-    (xor + SWAR popcount) with only pairs <= max_hamming emitted."""
+    (xor + SWAR popcount) with only pairs <= max_hamming emitted.
+
+    ``emit_over_keys`` (level-0 only): oversized runs (> max_bucket members
+    — the kernel already detects them to drop them) additionally emit ONE
+    sentinel row ``(id_a=-1, id_b=(key0<<16)|key1, hamming=-1)`` so the
+    caller can route those buckets into the Manku refinement WITHOUT a
+    separate bucket-size aggregation over the full exploded table (the
+    sizes groupBy was a second full explode+shuffle+agg pass at any scale).
+    Requires exactly two key columns with key1 in [0, 65536) — true for the
+    (band, 16-bit-chunk) level-0 keys.  Sentinels are distinguishable from
+    real pairs by hamming < 0 (a real pair's hamming is always >= 0,
+    whatever the id values)."""
+    if emit_over_keys and len(key_cols) != 2:
+        raise ValueError("emit_over_keys requires exactly two key columns")
 
     def kernel(batches):
         import pyarrow as pa
 
         out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                                 ("hamming", pa.int32())])
-        for counts, payload in _run_groups(batches, key_cols, ["id", "sig"],
+        payload_cols = (list(key_cols) if emit_over_keys else []) + ["id", "sig"]
+        for counts, payload in _run_groups(batches, key_cols, payload_cols,
                                            drop_over=max_bucket):
+            starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            if emit_over_keys:
+                over = np.flatnonzero(counts > max_bucket)
+                if over.size:
+                    s = starts[:-1][over]
+                    k0 = payload[key_cols[0]][s].astype(np.int64)
+                    k1 = payload[key_cols[1]][s].astype(np.int64)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(np.full(over.size, -1, dtype=np.int64)),
+                         pa.array((k0 << 16) | k1),
+                         pa.array(np.full(over.size, -1, dtype=np.int32))],
+                        schema=out_schema)
             keep = (counts >= 2) & (counts <= max_bucket)
             if not keep.any():
                 continue
-            starts = np.zeros(len(counts) + 1, dtype=np.int64)
-            np.cumsum(counts, out=starts[1:])
             rows = _ranges(starts[:-1][keep], counts[keep])
             ids = payload["id"][rows]
             sig = payload["sig"][rows].astype(np.int64).view(np.uint64)

@@ -655,3 +655,69 @@ def test_bucket_pair_kernels_match_bruteforce():
     xs = rng.integers(0, 2**63, 1000).astype(np.uint64)
     assert all(int(p) == bin(int(x)).count("1")
                for p, x in zip(_popcount64(xs.copy()), xs))
+
+
+def test_simhash_kernel_emits_oversized_bucket_sentinels():
+    """The level-0 kernel's sentinel rows (id_a=-1, id_b=(band<<16)|bh,
+    hamming=-1) must appear exactly once per oversized bucket — including a
+    bucket whose run spans arrow batches and is carry-truncated — and never
+    for processable buckets; real pairs must be byte-identical to the
+    sentinel-free kernel's output."""
+    import pyarrow as pa
+
+    from colonnade_spark.textops import simhash_bucket_pair_kernel
+
+    rng = np.random.default_rng(11)
+    # bucket (0,7): 3 rows | (1,9): 30 rows (oversized, cap 8, spans
+    # batches) | (2,65535): 4 rows (max 16-bit chunk value)
+    band = [0] * 3 + [1] * 30 + [2] * 4
+    bh = [7] * 3 + [9] * 30 + [65535] * 4
+    ids = list(range(len(band)))
+    sigs = rng.integers(-2**62, 2**62, len(ids)).tolist()
+    batches = [pa.RecordBatch.from_arrays(
+        [pa.array(band[i: i + 5], type=pa.int32()),
+         pa.array(bh[i: i + 5], type=pa.int32()),
+         pa.array(ids[i: i + 5], type=pa.int64()),
+         pa.array(sigs[i: i + 5], type=pa.int64())],
+        names=["band", "bh", "id", "sig"]) for i in range(0, len(band), 5)]
+
+    out = list(simhash_bucket_pair_kernel(["band", "bh"], 64, 8,
+                                          emit_over_keys=True)(iter(batches)))
+    rows = [(b.column(0)[r].as_py(), b.column(1)[r].as_py(),
+             b.column(2)[r].as_py()) for b in out for r in range(b.num_rows)]
+    sentinels = [r for r in rows if r[2] < 0]
+    assert sentinels == [(-1, (1 << 16) | 9, -1)]       # exactly once
+    plain = list(simhash_bucket_pair_kernel(["band", "bh"], 64, 8)(
+        iter(batches)))
+    plain_rows = [(b.column(0)[r].as_py(), b.column(1)[r].as_py(),
+                   b.column(2)[r].as_py())
+                  for b in plain for r in range(b.num_rows)]
+    assert [r for r in rows if r[2] >= 0] == plain_rows and plain_rows
+
+    with pytest.raises(ValueError):
+        simhash_bucket_pair_kernel(["a"], 3, 8, emit_over_keys=True)
+
+
+def test_simhash_pairs_output_free_of_sentinels_when_capped(spark):
+    """End-to-end: a capped corpus (Manku level-1 fires) must produce the
+    same pair set as before the sentinel router, with no sentinel rows in
+    the result (hamming is never negative)."""
+    import numpy as np
+
+    from colonnade_spark.textops import simhash_pairs_from_sigs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for p in range(20):
+        chunks = rng.integers(0, 4, size=4)
+        sig = 0
+        for i, c in enumerate(chunks):
+            sig |= int(c) << (i * 16)
+        rows.append((2 * p, int(np.uint64(sig).view(np.int64))))
+        rows.append((2 * p + 1, rows[-1][1]))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = simhash_pairs_from_sigs(df, "doc_id", max_hamming=0,
+                                  max_bucket=8).collect()
+    assert all(r["hamming"] >= 0 and r["id_a"] >= 0 for r in got)
+    assert {(r["id_a"], r["id_b"]) for r in got} >= {
+        (2 * p, 2 * p + 1) for p in range(20)}
