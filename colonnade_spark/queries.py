@@ -1492,9 +1492,13 @@ def q_minhash_twin_recall(spark, sf_dir):
     perturbed = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.lit("PERTURBED "), F.col("text")).alias("text"))
+    # dedup=False: the distinct(id_a) below subsumes the pair-level
+    # dropDuplicates (a twin pair surviving in k bands contributes the
+    # same id_a k times), so the pair-dedup shuffle over the survivor
+    # volume is pure overhead here — one fewer full pass at any scale
     pairs = minhash_near_dup_pairs(spark, docs.union(perturbed),
                                    id_col="doc_id", text_col="text",
-                                   threshold=0.5)
+                                   threshold=0.5, dedup=False)
     recalled = (pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)
                 .select(F.col("id_a").alias("doc_id")).distinct())
     return docs.agg(

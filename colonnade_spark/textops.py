@@ -234,7 +234,7 @@ def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
                            threshold: float = 0.8, n_hashes: int = 64,
                            bands: int = 16, shingle: int = 5,
                            max_bucket: int = 200, sig_df=None,
-                           sig_path: str | None = None):
+                           sig_path: str | None = None, dedup: bool = True):
     """Candidate pairs sharing >=1 LSH band, kept when the signature-estimated
     Jaccard >= threshold.  Returns (id_a, id_b, est_jaccard).
 
@@ -245,7 +245,15 @@ def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
     to materialize them to a warehouse table anyway (callers that want the
     signature table as a reusable artifact, or that scan the returned pairs
     more than once), or ``sig_df`` (columns: id_col, sig) to skip the
-    kernel entirely."""
+    kernel entirely.
+
+    ``dedup=False`` skips the final ``dropDuplicates``: a pair surviving in
+    k shared bands is then emitted k times (same est_jaccard — it is a pure
+    function of the two signatures).  For a consumer whose next step is
+    itself a distinct/aggregation over the pair columns (e.g. twin-recall's
+    ``distinct(id_a)``), the dedup shuffle is subsumed and skipping it
+    removes one full pass over the survivor volume (guide §2.1) without
+    changing any downstream result."""
     from pyspark.sql import functions as F
 
     if bands <= 0 or n_hashes % bands:
@@ -286,7 +294,7 @@ def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
     pairs = shuffled.mapInArrow(
         minhash_bucket_pair_kernel(n_hashes, threshold, max_bucket),
         "id_a bigint, id_b bigint, est_jaccard double")
-    return pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs.dropDuplicates(["id_a", "id_b"]) if dedup else pairs
 
 
 # --------------------------------------------------------------------------

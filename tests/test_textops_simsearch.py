@@ -61,6 +61,28 @@ def test_minhash_sig_path_materializes_and_matches_inline(spark, docs, tmp_path)
     assert any(f.endswith(".parquet") for f in os.listdir(sig_dir))
 
 
+def test_minhash_dedup_false_is_multiset_of_same_pairs(spark, docs):
+    """``dedup=False`` must emit exactly the deduped pair set with
+    multiplicity >= 1 and a single est value per pair (est is a pure
+    function of the two signatures, whatever band found the pair) — so any
+    downstream distinct/aggregation over the pair columns gives identical
+    results while the survivor-volume dedup shuffle is skipped."""
+    from collections import Counter
+
+    from colonnade_spark.textops import minhash_near_dup_pairs
+
+    both = _with_perturbed(docs)
+    deduped = minhash_near_dup_pairs(spark, both, "doc_id", "text",
+                                     threshold=0.5).collect()
+    raw = minhash_near_dup_pairs(spark, both, "doc_id", "text",
+                                 threshold=0.5, dedup=False).collect()
+    dset = {(r["id_a"], r["id_b"], r["est_jaccard"]) for r in deduped}
+    rset = {(r["id_a"], r["id_b"], r["est_jaccard"]) for r in raw}
+    assert rset == dset                      # same pairs, same est values
+    mult = Counter((r["id_a"], r["id_b"]) for r in raw)
+    assert len(raw) >= len(deduped) and max(mult.values()) > 1
+
+
 def test_exact_jaccard_verifies_minhash(spark, docs):
     from colonnade_spark.textops import minhash_near_dup_pairs, ngram_jaccard_pairs
 
