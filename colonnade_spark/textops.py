@@ -480,7 +480,8 @@ def simhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
 # --------------------------------------------------------------------------
 
 def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
-                         max_iters: int = 20, on_max_iters: str = "warn"):
+                         max_iters: int = 20, on_max_iters: str = "warn",
+                         dedup_edges: bool = True):
     """Connected components over an undirected pair list by iterative
     min-label propagation: every node repeatedly adopts the smallest label
     among itself and its neighbors; converges in <= graph-diameter rounds
@@ -512,6 +513,18 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
     missing from ``ids_df`` is not given a self-label, so it can bridge
     its neighbors' components and appears in the output with the merged
     label.
+
+    Duplicates in ``ids_df`` need no pre-pass: round 1's ``groupBy(id)``
+    subsumes a ``distinct()`` exactly (duplicate self-labels collapse to
+    the same min), so the id side is used as-is — one fewer shuffle in
+    round 1's action for every caller whose ids are already unique (all
+    in-repo ones).  ``dedup_edges=False`` additionally skips the edge-list
+    ``distinct()`` for callers that KNOW their pair list is duplicate-free
+    (e.g. downstream of the pair kernels' ``dropDuplicates``): duplicate
+    edges would be absorbed by the per-round min exactly like duplicate
+    ids, but at d× duplication they inflate EVERY round's join volume d×,
+    while the one-time distinct costs a single pass — so deduping stays
+    the default and only provably-unique callers opt out.
     """
     import warnings
 
@@ -519,7 +532,7 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
 
     spark = ids_df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ids = ids_df.select(F.col(id_col).alias("id")).distinct()
+    ids = ids_df.select(F.col(id_col).alias("id"))
     # hash-partition the edges on the join key ONCE: the per-round join's
     # required distribution is already satisfied by the cached layout, so
     # only the (much smaller) labels side shuffles each round.  Both edge
@@ -531,8 +544,10 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
                  F.struct(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
                  F.struct(F.col("id_b").alias("u"), F.col("id_a").alias("v"))))
                  .alias("e"))
-             .select("e.u", "e.v")
-             .distinct().repartition(n_part, "v").cache())
+             .select("e.u", "e.v"))
+    if dedup_edges:
+        edges = edges.distinct()
+    edges = edges.repartition(n_part, "v").cache()
     labels = ids.select("id", F.col("id").alias("comp")).cache()
     sc = spark.sparkContext
     first_round_cache = labels
@@ -630,7 +645,14 @@ def dedup_near_keep_first(spark, df, id_col: str, text_col: str,
 
     pairs = minhash_near_dup_pairs(spark, df, id_col, text_col,
                                    threshold=threshold, **minhash_kw)
-    comp = connected_components(df.select(id_col), pairs, id_col=id_col)
+    # when pairs are unique (the default path ends in dropDuplicates) both
+    # exploded directions are unique too — the edge distinct would dedup
+    # nothing; skipping it removes one full pass over the edge list.  A
+    # caller forcing dedup=False through minhash_kw gets the edge-level
+    # dedup back (band-duplicated pairs would otherwise inflate every CC
+    # round's join volume).
+    comp = connected_components(df.select(id_col), pairs, id_col=id_col,
+                                dedup_edges=not minhash_kw.get("dedup", True))
     keep = (comp.groupBy("comp").agg(F.min(id_col).alias(id_col))
             .select(id_col))
     return df.join(keep, id_col, "left_semi")

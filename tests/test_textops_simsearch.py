@@ -384,6 +384,31 @@ def test_connected_components_and_near_dedup(spark, docs):
     assert n_pert_kept <= 5              # originals win (min id)
 
 
+def test_connected_components_absorbs_duplicates(spark):
+    """Round-6 pin for the removed id-side distinct(): duplicate ids and
+    duplicate/self-inverse pair rows must produce the same labels as clean
+    input — round 1's groupBy(id) min subsumes the distinct exactly — and
+    ``dedup_edges=False`` must be label-identical to the default on a
+    duplicate-free pair list."""
+    from colonnade_spark.textops import connected_components
+
+    ids_dup = spark.createDataFrame(
+        [(i,) for i in range(1, 7)] + [(2,), (5,), (5,)], "doc_id long")
+    pairs_dup = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (1, 2), (2, 3)], "id_a long, id_b long")
+    expect = {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    comp = {r["doc_id"]: r["comp"]
+            for r in connected_components(ids_dup, pairs_dup).collect()}
+    assert comp == expect
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    nodedup = {r["doc_id"]: r["comp"]
+               for r in connected_components(
+                   ids, pairs, dedup_edges=False).collect()}
+    assert nodedup == expect
+
+
 def test_connected_components_releases_superseded_storage(spark):
     """Review regression: each round's localCheckpoint blocks must be
     released when superseded (DataFrame.unpersist alone does NOT free
