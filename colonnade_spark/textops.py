@@ -533,6 +533,11 @@ def connected_components(ids_df, pairs_df, id_col: str = "doc_id",
     spark = ids_df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ids = ids_df.select(F.col(id_col).alias("id"))
+    if max_iters <= 0:
+        # degenerate parameter: no round ever runs, so the round-1 groupBy
+        # that normally subsumes the id-side distinct never happens — keep
+        # the old one-label-per-unique-id output shape explicitly
+        ids = ids.distinct()
     # hash-partition the edges on the join key ONCE: the per-round join's
     # required distribution is already satisfied by the cached layout, so
     # only the (much smaller) labels side shuffles each round.  Both edge

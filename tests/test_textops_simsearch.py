@@ -407,6 +407,13 @@ def test_connected_components_absorbs_duplicates(spark):
                for r in connected_components(
                    ids, pairs, dedup_edges=False).collect()}
     assert nodedup == expect
+    # degenerate max_iters=0: no round runs, so the groupBy that normally
+    # absorbs duplicate ids never happens — output must still be one
+    # self-label per unique id (the explicit guard)
+    rows = connected_components(ids_dup, pairs_dup, max_iters=0,
+                                on_max_iters="ignore").collect()
+    assert sorted((r["doc_id"], r["comp"]) for r in rows) == [
+        (i, i) for i in range(1, 7)]
 
 
 def test_connected_components_releases_superseded_storage(spark):
