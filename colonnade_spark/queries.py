@@ -927,9 +927,11 @@ def q_ngram_jaccard(spark, sf_dir):
     # coalesce the exchange by shuffle BYTES (~25 MB compressed text →
     # ONE post-shuffle partition), serializing the whole python kernel on
     # a single task (measured 10.4 s vs 1.4 s at sf1.0) — AQE cannot see
-    # python-side CPU (guide §4).  2x parallelism for intra-task balance;
-    # scales with the cluster, not a tuned constant.
-    n_part = spark.sparkContext.defaultParallelism * 2
+    # python-side CPU (guide §4).  Count policy + skew knob in
+    # textops._kernel_partitions; scales with the cluster, never a tuned
+    # constant.
+    from .textops import _kernel_partitions
+    n_part = _kernel_partitions(spark)
     shuffled = (u.repartition(n_part, "blk")
                 .sortWithinPartitions("blk", "doc_id"))
     return shuffled.mapInArrow(

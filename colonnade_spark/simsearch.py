@@ -398,7 +398,8 @@ def cosine_near_dup_pairs(spark, df, vec_col: str, id_col: str,
         # only.  Same shape as the minhash/simhash kernels.
         ex = sig.select(F.col("id").cast("bigint").alias("id"), "e", "n2",
                         F.posexplode(bandcols).alias("band", "bh"))
-        n_part = spark.sparkContext.defaultParallelism * 2
+        from .textops import _kernel_partitions
+        n_part = _kernel_partitions(spark)
         shuffled = (ex.repartition(n_part, "band", "bh")
                     .sortWithinPartitions("band", "bh", "id"))
         pairs = shuffled.mapInArrow(

@@ -207,6 +207,31 @@ def _materialize(df, path: str | None = None):
     return spark.read.parquet(path)
 
 
+def _kernel_partitions(spark) -> int:
+    """Explicit partition count for keyed exchanges that feed python
+    kernels (mapInArrow pair kernels, the ngram block kernel).  The count
+    MUST be explicit — AQE coalesces these exchanges by shuffle BYTES and
+    cannot see python-side CPU, collapsing a ~25 MB exchange to 1-2 tasks
+    (round-6 structural finding; measured 10.4 s vs 1.4 s on the ngram
+    kernel).
+
+    Default multiplier 1 × defaultParallelism: same-session interleaved
+    A/B at sf0.1 AND on a 10× corpus read 1× faster than 2× on every
+    kernel query (each extra task wave costs ~5-15 ms of arrow/task
+    overhead while the per-bucket work is already balanced by the hash
+    partitioning; e.g. embedding pairs 1.26 → 1.01 s, and 16 (= ½×) was
+    worse again — the kernel CPU then under-parallelizes).  On clusters
+    where per-bucket pair volume is heavily skewed (task runtimes of
+    seconds+, stragglers visible), set SPARK_GRAFT_KERNEL_PART_MULT=2..4:
+    finer tasks let the scheduler balance the tail, and the per-task fixed
+    cost is amortized by then.  Scale-adaptive either way — the count is
+    derived from the cluster's parallelism, never a tuned constant."""
+    import os
+
+    mult = max(int(os.environ.get("SPARK_GRAFT_KERNEL_PART_MULT", "1")), 1)
+    return spark.sparkContext.defaultParallelism * mult
+
+
 def _spread(df):
     """Ensure the signature UDF gets enough tasks to use the cluster: a
     single small parquet file otherwise serializes the whole kernel in one
@@ -286,9 +311,9 @@ def minhash_near_dup_pairs(spark, df, id_col: str, text_col: str,
                              F.posexplode(band_arr).alias("band", "bh"))
     # explicit partition count: AQE would coalesce this exchange by BYTES
     # and serialize the python pair kernel on a handful of tasks (it
-    # cannot see python-side CPU, guide §4); 2x parallelism also spreads
-    # the skewed per-bucket pair volume
-    n_part = sigged.sparkSession.sparkContext.defaultParallelism * 2
+    # cannot see python-side CPU, guide §4); count policy + skew knob in
+    # _kernel_partitions
+    n_part = _kernel_partitions(sigged.sparkSession)
     shuffled = (exploded.repartition(n_part, "band", "bh")
                 .sortWithinPartitions("band", "bh", "id"))
     pairs = shuffled.mapInArrow(
@@ -387,8 +412,9 @@ def simhash_pairs_from_sigs(df_sigged, id_col: str, sig_col: str = "simhash",
     # pass over the signature table at any scale — as the Manku router.
     # explicit partition count — same AQE-coalescing hazard as the minhash
     # kernel (a ~13 MB exploded signature table would collapse to ONE
-    # post-shuffle partition and serialize the 65M-pair popcount)
-    n_part = df_sigged.sparkSession.sparkContext.defaultParallelism * 2
+    # post-shuffle partition and serialize the 65M-pair popcount); count
+    # policy + skew knob in _kernel_partitions
+    n_part = _kernel_partitions(df_sigged.sparkSession)
     shuffled = (exploded.repartition(n_part, "band", "bh")
                 .sortWithinPartitions("band", "bh", "id"))
     # localCheckpoint: level0 feeds BOTH the result union and the Manku
